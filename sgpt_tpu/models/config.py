@@ -1,0 +1,148 @@
+"""Decoder architecture configs.
+
+One unified config covers the three GPT families the SGPT reference drives through
+HuggingFace transformers (ref: biencoder/beir/beir_dense_retriever.py:123,
+crossencoder/beir/sgptce.py:54-60): GPT-Neo (learned positions, alternating
+global/local attention, unscaled attention scores), GPT-J (rotary embeddings,
+parallel residual, no attention biases) and BLOOM (ALiBi, embedding layernorm,
+fused head-major QKV in the checkpoint).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Static architecture description of a causal decoder-only transformer."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    max_position_embeddings: int = 2048
+    intermediate_size: Optional[int] = None  # default: 4 * hidden_size
+    head_dim: Optional[int] = None           # default: hidden_size // num_heads
+
+    # Position encoding: "learned" (GPT-Neo), "rotary" (GPT-J), "alibi" (BLOOM).
+    position_embedding: str = "learned"
+    rotary_dim: Optional[int] = None         # GPT-J: 64
+
+    # Attention layout: "global" everywhere, or "alternating" global/local
+    # (GPT-Neo: even layers global, odd layers local with a 256-token window).
+    attention_layout: str = "global"
+    local_window: int = 256
+
+    # Score scaling: GPT-Neo uses none; GPT-J and BLOOM use 1/sqrt(head_dim).
+    scale_attn: bool = True
+
+    # GPT-J applies attention and MLP to the same layernorm output and sums both
+    # into the residual ("parallel residual"); Neo/BLOOM are sequential.
+    parallel_residual: bool = False
+
+    # BLOOM applies a layernorm to the token embeddings before the first block.
+    embedding_layernorm: bool = False
+
+    qkv_bias: bool = False                   # BLOOM: True
+    out_bias: bool = True                    # GPT-J: False
+    layer_norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32           # activation/compute dtype
+    # Matmul precision for fp32 inputs. XLA's "default" runs fp32 matmuls in
+    # reduced (bf16-class) precision on TPU, which breaks checkpoint parity;
+    # "highest" keeps true fp32. Serving casts to bf16 where this is moot.
+    matmul_precision: str = "highest"
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @property
+    def mlp_size(self) -> int:
+        return self.intermediate_size if self.intermediate_size is not None else 4 * self.hidden_size
+
+    def local_flags(self) -> Tuple[bool, ...]:
+        """Per-layer is-local-attention flags."""
+        if self.attention_layout == "alternating":
+            return tuple(i % 2 == 1 for i in range(self.num_layers))
+        return tuple(False for _ in range(self.num_layers))
+
+    def replace(self, **kw) -> "DecoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets for the model families the reference evaluates (README.md model list).
+# ---------------------------------------------------------------------------
+
+def gpt_neo(size: str = "125m", **kw) -> DecoderConfig:
+    dims = {
+        "125m": dict(hidden_size=768, num_layers=12, num_heads=12),
+        "1.3b": dict(hidden_size=2048, num_layers=24, num_heads=16),
+        "2.7b": dict(hidden_size=2560, num_layers=32, num_heads=20),
+    }[size]
+    return DecoderConfig(
+        vocab_size=50257,
+        position_embedding="learned",
+        attention_layout="alternating",
+        local_window=256,
+        scale_attn=False,
+        qkv_bias=False,
+        out_bias=True,
+        **dims,
+        **kw,
+    )
+
+
+def gpt_j_6b(**kw) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=50400,
+        hidden_size=4096,
+        num_layers=28,
+        num_heads=16,
+        position_embedding="rotary",
+        rotary_dim=64,
+        parallel_residual=True,
+        scale_attn=True,
+        qkv_bias=False,
+        out_bias=False,
+        **kw,
+    )
+
+
+def bloom(size: str = "1b7", **kw) -> DecoderConfig:
+    dims = {
+        "560m": dict(hidden_size=1024, num_layers=24, num_heads=16),
+        "1b7": dict(hidden_size=2048, num_layers=24, num_heads=16),
+        "3b": dict(hidden_size=2560, num_layers=30, num_heads=32),
+        "7b1": dict(hidden_size=4096, num_layers=30, num_heads=32),
+    }[size]
+    return DecoderConfig(
+        vocab_size=250880,
+        position_embedding="alibi",
+        embedding_layernorm=True,
+        scale_attn=True,
+        qkv_bias=True,
+        out_bias=True,
+        **dims,
+        **kw,
+    )
+
+
+def tiny(family: str = "neo", vocab_size: int = 257, **kw) -> DecoderConfig:
+    """Small configs for tests; same structural flags as the full families."""
+    base = dict(vocab_size=vocab_size, hidden_size=64, num_layers=4, num_heads=4,
+                max_position_embeddings=128)
+    base.update(kw)
+    if family == "neo":
+        return DecoderConfig(position_embedding="learned", attention_layout="alternating",
+                             local_window=8, scale_attn=False, **base)
+    if family == "gptj":
+        return DecoderConfig(position_embedding="rotary", rotary_dim=8,
+                             parallel_residual=True, out_bias=False, **base)
+    if family == "bloom":
+        return DecoderConfig(position_embedding="alibi", embedding_layernorm=True,
+                             qkv_bias=True, **base)
+    raise ValueError(f"unknown family {family!r}")

@@ -1,0 +1,237 @@
+"""Unified TPU-native GPT decoder forward (GPT-Neo / GPT-J / BLOOM).
+
+Pure-functional JAX: params are a pytree of stacked per-layer arrays and the layer
+stack runs under `lax.scan` (one trace/compile regardless of depth — XLA-friendly,
+unlike the reference's per-layer Python module loop through HF transformers).
+
+Behavioral parity targets (so HF checkpoints reproduce published scores):
+  * GPT-Neo:  learned positions, alternating global/local(window) attention,
+              UNSCALED attention scores, fp32 softmax.
+  * GPT-J:    rotary on the first `rotary_dim` dims (rotate-every-two layout),
+              parallel residual (attn + mlp from the same layernorm), 1/sqrt(d) scores.
+  * BLOOM:    ALiBi bias added to scores pre-softmax (not scaled), embedding
+              layernorm, sequential residual.
+
+`output_hidden_states=True` matches the HF tuple semantics the SGPT drivers rely on
+(ref: biencoder/beir/beir_dense_retriever.py:205): entry 0 is the embedding output,
+entries 1..N-1 are block outputs, entry N is ln_f(last block output).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import DecoderConfig
+
+NEG_INF = jnp.float32(-1e9)
+
+
+# ---------------------------------------------------------------------------
+# Primitive blocks
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of activation dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """The tanh-approx GELU all three families use (HF `gelu_new` / BloomGelu)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def rope_sincos(positions: jax.Array, rotary_dim: int):
+    """GPT-J style sin/cos tables, repeat-interleaved by 2. positions: (T,)."""
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]     # (T, rd/2)
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)                           # (T, rd)
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)
+    return sin, cos
+
+
+def _rotate_every_two(x: jax.Array) -> jax.Array:
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(x: jax.Array, sin: jax.Array, cos: jax.Array, rotary_dim: int) -> jax.Array:
+    """x: (B, T, H, Dh); rotary applied to the leading `rotary_dim` of Dh."""
+    rot, rest = x[..., :rotary_dim], x[..., rotary_dim:]
+    sin = sin[None, :, None, :].astype(rot.dtype)
+    cos = cos[None, :, None, :].astype(rot.dtype)
+    rot = rot * cos + _rotate_every_two(rot) * sin
+    return jnp.concatenate([rot, rest], axis=-1)
+
+
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """BLOOM's per-head ALiBi slopes (closest-power-of-two interpolation)."""
+    cp2 = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(cp2) - 3)))
+    slopes = [base ** (i + 1) for i in range(cp2)]
+    if cp2 != num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * cp2) - 3)))
+        slopes += [extra_base ** (i + 1) for i in range(0, 2 * (num_heads - cp2), 2)]
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
+def build_alibi_bias(attention_mask: jax.Array, num_heads: int) -> jax.Array:
+    """(B, H, 1, T) bias = slope_h * key_position, matching HF `build_alibi_tensor`."""
+    positions = (jnp.cumsum(attention_mask, axis=-1) - 1) * attention_mask  # (B, T)
+    slopes = alibi_slopes(num_heads)                                        # (H,)
+    return slopes[None, :, None, None] * positions[:, None, None, :].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Attention / MLP
+# ---------------------------------------------------------------------------
+
+def _project(x, w, b):
+    y = jnp.einsum("btd,df->btf", x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def attention(x: jax.Array, p: dict, cfg: DecoderConfig, mask_bias: jax.Array,
+              rope: Optional[tuple], alibi: Optional[jax.Array]) -> jax.Array:
+    """Causal multi-head attention. mask_bias: (B, 1, T, T) additive fp32 bias."""
+    B, T, _ = x.shape
+    H, Dh = cfg.num_heads, cfg.head_size
+
+    q = _project(x, p["wq"], p.get("bq")).reshape(B, T, H, Dh)
+    k = _project(x, p["wk"], p.get("bk")).reshape(B, T, H, Dh)
+    v = _project(x, p["wv"], p.get("bv")).reshape(B, T, H, Dh)
+
+    if rope is not None:
+        sin, cos = rope
+        q = apply_rotary(q, sin, cos, cfg.rotary_dim)
+        k = apply_rotary(k, sin, cos, cfg.rotary_dim)
+
+    # Scores in fp32 (all three HF reference implementations do fp32 softmax).
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if cfg.scale_attn:
+        scores = scores / jnp.float32(math.sqrt(Dh))
+    if alibi is not None:
+        scores = scores + alibi  # BLOOM: alibi added un-scaled, pre-mask
+    scores = scores + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * Dh)
+    return _project(out, p["wo"], p.get("bo"))
+
+
+def mlp(x: jax.Array, p: dict) -> jax.Array:
+    h = gelu_tanh(_project(x, p["wi"], p.get("bi")))
+    return _project(h, p["wo"], p.get("bo"))
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool):
+    """Build (B,1,T,T) fp32 additive biases: (global, local or None)."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    causal = j <= i
+    keymask = attention_mask[:, None, None, :].astype(bool)          # (B,1,1,T)
+    ok_global = jnp.logical_and(causal[None, None], keymask)
+    bias_global = jnp.where(ok_global, 0.0, NEG_INF)
+    if not want_local:
+        return bias_global, None
+    local = jnp.logical_and(causal, j > i - window)
+    ok_local = jnp.logical_and(local[None, None], keymask)
+    return bias_global, jnp.where(ok_local, 0.0, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("cfg", "output_hidden_states"))
+def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
+            cfg: DecoderConfig, *, output_hidden_states: bool = False,
+            position_ids: Optional[jax.Array] = None):
+    """Run the decoder.
+
+    Returns final hidden states (B, T, D) after ln_f, or — with
+    output_hidden_states — a stacked (L+1, B, T, D) array with HF tuple semantics.
+    """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _forward_impl(params, input_ids, attention_mask, cfg,
+                             output_hidden_states=output_hidden_states,
+                             position_ids=position_ids)
+
+
+def _forward_impl(params, input_ids, attention_mask, cfg, *,
+                  output_hidden_states, position_ids):
+    B, T = input_ids.shape
+    dtype = cfg.dtype
+
+    x = jnp.take(params["wte"], input_ids, axis=0).astype(dtype)
+    if position_ids is None:
+        positions = jnp.arange(T)
+    else:
+        positions = position_ids
+    if cfg.position_embedding == "learned":
+        x = x + jnp.take(params["wpe"], positions, axis=0).astype(dtype)
+    if cfg.embedding_layernorm:
+        x = layer_norm(x, params["emb_ln"]["scale"], params["emb_ln"]["bias"],
+                       cfg.layer_norm_eps)
+
+    rope = None
+    if cfg.position_embedding == "rotary":
+        rope = rope_sincos(positions, cfg.rotary_dim)
+
+    alibi = None
+    if cfg.position_embedding == "alibi":
+        alibi = build_alibi_bias(attention_mask, cfg.num_heads)
+
+    any_local = any(cfg.local_flags())
+    bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window, any_local)
+    is_local = jnp.asarray(cfg.local_flags())
+
+    layers = params["layers"]
+
+    def block(x, xs):
+        p, local_flag = xs
+        if bias_local is not None:
+            mask_bias = jnp.where(local_flag, bias_local, bias_global)
+        else:
+            mask_bias = bias_global
+        h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
+        attn_out = attention(h1, p["attn"], cfg, mask_bias, rope, alibi)
+        if cfg.parallel_residual:
+            mlp_out = mlp(h1, p["mlp"])
+            x = x + attn_out + mlp_out
+        else:
+            x = x + attn_out
+            h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layer_norm_eps)
+            x = x + mlp(h2, p["mlp"])
+        return x, (x if output_hidden_states else None)
+
+    x0 = x
+    x, ys = jax.lax.scan(block, x, (layers, is_local))
+    final = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], cfg.layer_norm_eps)
+
+    if output_hidden_states:
+        # HF semantics: [embeddings, block_1..block_{N-1} outputs, ln_f(block_N)]
+        hidden = jnp.concatenate([x0[None], ys[:-1], final[None]], axis=0)
+        return hidden
+    return final
+
+
+def logits(params: dict, hidden: jax.Array, cfg: DecoderConfig) -> jax.Array:
+    """LM head. GPT-Neo ties to wte; GPT-J/BLOOM may carry a separate head."""
+    if "lm_head" in params:
+        w = params["lm_head"]["w"]
+        out = jnp.einsum("btd,dv->btv", hidden, w.astype(hidden.dtype))
+        if "b" in params["lm_head"]:
+            out = out + params["lm_head"]["b"].astype(hidden.dtype)
+        return out
+    return jnp.einsum("btd,vd->btv", hidden, params["wte"].astype(hidden.dtype))

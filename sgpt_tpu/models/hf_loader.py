@@ -1,0 +1,209 @@
+"""Import HuggingFace checkpoints into the stacked-pytree layout.
+
+The converter works from a plain name→numpy mapping so torch is only an optional
+dependency (state dicts from `model.state_dict()` or safetensors both work).
+Name maps cover the three families the SGPT reference evaluates
+(ref: biencoder/beir/beir_dense_retriever.py:123 loads via AutoModel;
+crossencoder/beir/sgptce.py:54 via AutoModelForCausalLM).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DecoderConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def _strip_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop 'transformer.' / 'gpt_neox.' style prefixes and lm_head into flat names."""
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(transformer\.|model\.)", "", k)
+        out[k] = v
+    return out
+
+
+def _stack(per_layer):
+    return jnp.asarray(np.stack(per_layer, axis=0))
+
+
+def convert_hf_state_dict(state_dict: Mapping, cfg: DecoderConfig, family: str,
+                          dtype=jnp.float32) -> dict:
+    """family: 'neo' | 'gptj' | 'bloom'. Returns the decoder params pytree."""
+    sd = {k: _np(v) for k, v in _strip_prefix(state_dict).items()}
+    L = cfg.num_layers
+    H, Dh, D = cfg.num_heads, cfg.head_size, cfg.hidden_size
+
+    def t(name):  # torch [out,in] → ours [in,out]
+        return sd[name].T
+
+    if family == "neo":
+        attn_p = "h.{i}.attn.attention."
+        params = {
+            "wte": jnp.asarray(sd["wte.weight"], dtype),
+            "wpe": jnp.asarray(sd["wpe.weight"], dtype),
+            "layers": {
+                "ln1": {"scale": _stack([sd[f"h.{i}.ln_1.weight"] for i in range(L)]),
+                        "bias": _stack([sd[f"h.{i}.ln_1.bias"] for i in range(L)])},
+                "attn": {
+                    "wq": _stack([t(attn_p.format(i=i) + "q_proj.weight") for i in range(L)]),
+                    "wk": _stack([t(attn_p.format(i=i) + "k_proj.weight") for i in range(L)]),
+                    "wv": _stack([t(attn_p.format(i=i) + "v_proj.weight") for i in range(L)]),
+                    "wo": _stack([t(attn_p.format(i=i) + "out_proj.weight") for i in range(L)]),
+                    "bo": _stack([sd[attn_p.format(i=i) + "out_proj.bias"] for i in range(L)]),
+                },
+                "ln2": {"scale": _stack([sd[f"h.{i}.ln_2.weight"] for i in range(L)]),
+                        "bias": _stack([sd[f"h.{i}.ln_2.bias"] for i in range(L)])},
+                "mlp": {
+                    "wi": _stack([t(f"h.{i}.mlp.c_fc.weight") for i in range(L)]),
+                    "bi": _stack([sd[f"h.{i}.mlp.c_fc.bias"] for i in range(L)]),
+                    "wo": _stack([t(f"h.{i}.mlp.c_proj.weight") for i in range(L)]),
+                    "bo": _stack([sd[f"h.{i}.mlp.c_proj.bias"] for i in range(L)]),
+                },
+            },
+            "ln_f": {"scale": jnp.asarray(sd["ln_f.weight"], dtype),
+                     "bias": jnp.asarray(sd["ln_f.bias"], dtype)},
+        }
+
+    elif family == "gptj":
+        params = {
+            "wte": jnp.asarray(sd["wte.weight"], dtype),
+            "layers": {
+                "ln1": {"scale": _stack([sd[f"h.{i}.ln_1.weight"] for i in range(L)]),
+                        "bias": _stack([sd[f"h.{i}.ln_1.bias"] for i in range(L)])},
+                "attn": {
+                    "wq": _stack([t(f"h.{i}.attn.q_proj.weight") for i in range(L)]),
+                    "wk": _stack([t(f"h.{i}.attn.k_proj.weight") for i in range(L)]),
+                    "wv": _stack([t(f"h.{i}.attn.v_proj.weight") for i in range(L)]),
+                    "wo": _stack([t(f"h.{i}.attn.out_proj.weight") for i in range(L)]),
+                },
+                "mlp": {
+                    "wi": _stack([t(f"h.{i}.mlp.fc_in.weight") for i in range(L)]),
+                    "bi": _stack([sd[f"h.{i}.mlp.fc_in.bias"] for i in range(L)]),
+                    "wo": _stack([t(f"h.{i}.mlp.fc_out.weight") for i in range(L)]),
+                    "bo": _stack([sd[f"h.{i}.mlp.fc_out.bias"] for i in range(L)]),
+                },
+            },
+            "ln_f": {"scale": jnp.asarray(sd["ln_f.weight"], dtype),
+                     "bias": jnp.asarray(sd["ln_f.bias"], dtype)},
+        }
+
+    elif family == "bloom":
+        # BLOOM fuses QKV head-major: weight (3*D, D) viewed as (H, 3, Dh, D).
+        wq, wk, wv, bq, bk, bv, wo, bo = [], [], [], [], [], [], [], []
+        for i in range(L):
+            w = sd[f"h.{i}.self_attention.query_key_value.weight"].reshape(H, 3, Dh, D)
+            b = sd[f"h.{i}.self_attention.query_key_value.bias"].reshape(H, 3, Dh)
+            # ours: (D_in, H*Dh) with head-major concatenation of the out axis
+            wq.append(w[:, 0].reshape(H * Dh, D).T)
+            wk.append(w[:, 1].reshape(H * Dh, D).T)
+            wv.append(w[:, 2].reshape(H * Dh, D).T)
+            bq.append(b[:, 0].reshape(H * Dh))
+            bk.append(b[:, 1].reshape(H * Dh))
+            bv.append(b[:, 2].reshape(H * Dh))
+            wo.append(sd[f"h.{i}.self_attention.dense.weight"].T)
+            bo.append(sd[f"h.{i}.self_attention.dense.bias"])
+        params = {
+            "wte": jnp.asarray(sd["word_embeddings.weight"], dtype),
+            "emb_ln": {"scale": jnp.asarray(sd["word_embeddings_layernorm.weight"], dtype),
+                       "bias": jnp.asarray(sd["word_embeddings_layernorm.bias"], dtype)},
+            "layers": {
+                "ln1": {"scale": _stack([sd[f"h.{i}.input_layernorm.weight"] for i in range(L)]),
+                        "bias": _stack([sd[f"h.{i}.input_layernorm.bias"] for i in range(L)])},
+                "attn": {"wq": _stack(wq), "wk": _stack(wk), "wv": _stack(wv),
+                         "bq": _stack(bq), "bk": _stack(bk), "bv": _stack(bv),
+                         "wo": _stack(wo), "bo": _stack(bo)},
+                "ln2": {"scale": _stack([sd[f"h.{i}.post_attention_layernorm.weight"] for i in range(L)]),
+                        "bias": _stack([sd[f"h.{i}.post_attention_layernorm.bias"] for i in range(L)])},
+                "mlp": {
+                    "wi": _stack([t(f"h.{i}.mlp.dense_h_to_4h.weight") for i in range(L)]),
+                    "bi": _stack([sd[f"h.{i}.mlp.dense_h_to_4h.bias"] for i in range(L)]),
+                    "wo": _stack([t(f"h.{i}.mlp.dense_4h_to_h.weight") for i in range(L)]),
+                    "bo": _stack([sd[f"h.{i}.mlp.dense_4h_to_h.bias"] for i in range(L)]),
+                },
+            },
+            "ln_f": {"scale": jnp.asarray(sd["ln_f.weight"], dtype),
+                     "bias": jnp.asarray(sd["ln_f.bias"], dtype)},
+        }
+    else:
+        raise ValueError(f"unknown family {family!r}")
+
+    if "lm_head.weight" in sd:
+        head = {"w": jnp.asarray(sd["lm_head.weight"].T, dtype)}
+        if "lm_head.bias" in sd:
+            head["b"] = jnp.asarray(sd["lm_head.bias"], dtype)
+        params["lm_head"] = head
+
+    import jax
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def config_from_hf(hf_config, family: str) -> DecoderConfig:
+    """Build a DecoderConfig from a transformers config object."""
+    from .config import DecoderConfig as C
+    if family == "neo":
+        flags = [a for pattern, n in hf_config.attention_types for a in pattern * n]
+        alternating = any(f == "local" for f in flags)
+        return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.hidden_size,
+                 num_layers=hf_config.num_layers, num_heads=hf_config.num_heads,
+                 max_position_embeddings=hf_config.max_position_embeddings,
+                 intermediate_size=hf_config.intermediate_size,
+                 position_embedding="learned",
+                 attention_layout="alternating" if alternating else "global",
+                 local_window=getattr(hf_config, "window_size", 256),
+                 scale_attn=False, qkv_bias=False, out_bias=True,
+                 layer_norm_eps=hf_config.layer_norm_epsilon)
+    if family == "gptj":
+        return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.n_embd,
+                 num_layers=hf_config.n_layer, num_heads=hf_config.n_head,
+                 max_position_embeddings=hf_config.n_positions,
+                 intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+                 position_embedding="rotary", rotary_dim=hf_config.rotary_dim,
+                 parallel_residual=True, scale_attn=True,
+                 qkv_bias=False, out_bias=False,
+                 layer_norm_eps=hf_config.layer_norm_epsilon)
+    if family == "bloom":
+        return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.hidden_size,
+                 num_layers=hf_config.n_layer, num_heads=hf_config.n_head,
+                 position_embedding="alibi", embedding_layernorm=True,
+                 scale_attn=True, qkv_bias=True, out_bias=True,
+                 layer_norm_eps=hf_config.layer_norm_epsilon)
+    raise ValueError(f"unknown family {family!r}")
+
+
+FAMILY_PATTERNS = (
+    ("bloom", ("bloom",)),
+    ("gptj", ("gpt-j", "gptj", "6.1b", "5.8b")),
+    ("neo", ("gpt-neo", "gptneo", "125m", "1.3b", "2.7b")),
+)
+
+
+def guess_family(name: str) -> str:
+    low = name.lower()
+    for fam, pats in FAMILY_PATTERNS:
+        if any(p in low for p in pats):
+            return fam
+    return "neo"
+
+
+def load_pretrained(name_or_path: str, family: str | None = None, dtype=jnp.float32):
+    """Load an HF checkpoint from a local path/cache (zero-egress friendly).
+
+    Returns (params, cfg). Requires `transformers` + weights available locally.
+    """
+    from transformers import AutoConfig, AutoModel
+    family = family or guess_family(name_or_path)
+    hf_cfg = AutoConfig.from_pretrained(name_or_path)
+    cfg = config_from_hf(hf_cfg, family)
+    model = AutoModel.from_pretrained(name_or_path)
+    params = convert_hf_state_dict(model.state_dict(), cfg, family, dtype=dtype)
+    return params, cfg

@@ -1,0 +1,74 @@
+"""Parameter pytree construction for the unified decoder.
+
+Layout: per-layer tensors are stacked along a leading layer axis so the whole
+stack runs under one `lax.scan` (see decoder.forward). Linear weights are stored
+[in, out] (activation @ W), the transpose of torch's [out, in].
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DecoderConfig
+
+
+def param_shapes(cfg: DecoderConfig) -> dict:
+    """Shape-structs of the parameter pytree (leading L axis on layer params)."""
+    D, F, L = cfg.hidden_size, cfg.mlp_size, cfg.num_layers
+    P = cfg.num_heads * cfg.head_size
+    attn = {"wq": (L, D, P), "wk": (L, D, P), "wv": (L, D, P), "wo": (L, P, D)}
+    if cfg.qkv_bias:
+        attn.update({"bq": (L, P), "bk": (L, P), "bv": (L, P)})
+    if cfg.out_bias:
+        attn["bo"] = (L, D)
+    layers = {
+        "ln1": {"scale": (L, D), "bias": (L, D)},
+        "attn": attn,
+        "mlp": {"wi": (L, D, F), "bi": (L, F), "wo": (L, F, D), "bo": (L, D)},
+    }
+    if not cfg.parallel_residual:
+        layers["ln2"] = {"scale": (L, D), "bias": (L, D)}
+    tree = {
+        "wte": (cfg.vocab_size, D),
+        "layers": layers,
+        "ln_f": {"scale": (D,), "bias": (D,)},
+    }
+    if cfg.position_embedding == "learned":
+        tree["wpe"] = (cfg.max_position_embeddings, D)
+    if cfg.embedding_layernorm:
+        tree["emb_ln"] = {"scale": (D,), "bias": (D,)}
+    return tree
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array,
+                dtype: Optional[jnp.dtype] = None) -> dict:
+    """Random init (GPT-2-style 0.02 normal; ln scale=1, biases=0)."""
+    dtype = dtype or cfg.dtype
+    shapes = param_shapes(cfg)
+    leaves, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
+    keys = jax.random.split(key, len(leaves))
+    paths = jax.tree_util.tree_flatten_with_path(
+        shapes, is_leaf=lambda x: isinstance(x, tuple))[0]
+
+    out = []
+    for (path, shape), k in zip(paths, keys):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("scale",):
+            out.append(jnp.ones(shape, dtype))
+        elif name.startswith("b") or name == "bias":
+            out.append(jnp.zeros(shape, dtype))
+        else:
+            out.append(0.02 * jax.random.normal(k, shape, dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def cast_params(params, dtype):
+    """Cast floating-point leaves (e.g. to bf16 for serving)."""
+    return jax.tree.map(lambda x: x.astype(dtype), params)
