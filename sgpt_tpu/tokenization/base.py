@@ -1,0 +1,86 @@
+"""Tokenizer protocol + implementations.
+
+The framework is tokenizer-agnostic: anything exposing `encode(text) -> List[int]`
+and the bracket token ids works. `HFTokenizer` adapts a HuggingFace tokenizer
+(the reference's path, beir_dense_retriever.py:138-152); `SimpleTokenizer` is a
+self-contained hash-bucket word tokenizer so the full stack runs and is testable
+with zero downloads.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Protocol, runtime_checkable
+
+
+@runtime_checkable
+class Tokenizer(Protocol):
+    vocab_size: int
+    eos_id: int
+    pad_id: int
+
+    def encode(self, text: str) -> List[int]: ...
+
+    def bracket_ids(self, bracket: str) -> List[int]:
+        """Token ids for one of '[', ']', '{', '}' (SPECB brackets)."""
+        ...
+
+
+class SimpleTokenizer:
+    """Deterministic hash-bucket word-level tokenizer (test / smoke usage).
+
+    Ids 0..3 are reserved: 0=pad, 1=eos, and the four brackets get dedicated ids
+    so SPECB semantics are exactly representable.
+    """
+
+    BRACKETS = {"[": 2, "]": 3, "{": 4, "}": 5}
+    N_RESERVED = 6
+
+    def __init__(self, vocab_size: int = 50257):
+        self.vocab_size = vocab_size
+        self.pad_id = 0
+        self.eos_id = 1
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for word in text.replace("\n", " ").split():
+            h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "little")
+            out.append(self.N_RESERVED + h % (self.vocab_size - self.N_RESERVED))
+        return out
+
+    def bracket_ids(self, bracket: str) -> List[int]:
+        return [self.BRACKETS[bracket]]
+
+
+class HFTokenizer:
+    """Adapter over a HuggingFace tokenizer.
+
+    Mirrors the reference setup: GPT tokenizers get pad_token = eos_token
+    (beir_dense_retriever.py:140-142) and brackets are encoded with the plain
+    `encode` (beir_dense_retriever.py:151-155) so multi-token brackets work.
+    """
+
+    def __init__(self, hf_tokenizer):
+        self.tok = hf_tokenizer
+        if self.tok.pad_token is None:
+            self.tok.pad_token = self.tok.eos_token
+        self.vocab_size = len(self.tok)
+        self.eos_id = self.tok.eos_token_id
+        self.pad_id = self.tok.pad_token_id
+
+    def encode(self, text: str) -> List[int]:
+        tokens = self.tok.tokenize(text.replace("\n", " "))
+        return self.tok.convert_tokens_to_ids(tokens)
+
+    def bracket_ids(self, bracket: str) -> List[int]:
+        return self.tok.encode(bracket)
+
+
+def get_tokenizer(name_or_path: Optional[str] = None) -> Tokenizer:
+    """HF tokenizer if loadable from a local path/cache, else SimpleTokenizer."""
+    if name_or_path:
+        try:
+            from transformers import AutoTokenizer
+            return HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
+        except Exception:
+            pass
+    return SimpleTokenizer()

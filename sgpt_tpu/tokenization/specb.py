@@ -1,0 +1,103 @@
+"""SPECB bracket-token batch encoding.
+
+SGPT's asymmetric-search recipe marks queries with `[`…`]` and documents with
+`{`…`}` at the *token id* level — brackets are inserted AFTER truncation, attended
+to (mask 1), and 2 tokens of budget are reserved for them
+(ref: biencoder/beir/beir_dense_retriever.py:100-104 consts, :134-136 budget,
+:186-191 insertion; README.md:353-381 recipe).
+
+Output arrays are padded to a static bucket length so every distinct shape jit-
+compiles once (the TPU replacement for the reference's pad-to-longest,
+beir_dense_retriever.py:201).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .base import Tokenizer
+
+
+@dataclasses.dataclass
+class BatchEncoding:
+    input_ids: np.ndarray       # (B, T) int32
+    attention_mask: np.ndarray  # (B, T) int32
+    lengths: np.ndarray         # (B,) true lengths (incl. brackets)
+    n_truncated: int = 0        # docs that lost tokens to the budget
+    tokens_truncated: int = 0
+
+
+# Length buckets: powers-of-two-ish ladder keeps compile count low while bounding
+# padding waste (replaces the reference's sort-by-length + pad-to-longest).
+DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 300, 512, 1024, 2048)
+
+
+def pick_bucket(max_len: int, buckets: Sequence[int], cap: int) -> int:
+    for b in buckets:
+        if b >= max_len and b <= cap:
+            return b
+    return cap
+
+
+@dataclasses.dataclass
+class SpecbCodec:
+    """Tokenize + (optionally) bracket + pad a batch of texts."""
+
+    tokenizer: Tokenizer
+    max_seq_len: int = 2048
+    specb: bool = False
+    buckets: Sequence[int] = DEFAULT_BUCKETS
+
+    def __post_init__(self):
+        if self.specb:
+            self.bos_q = self.tokenizer.bracket_ids("[")
+            self.eos_q = self.tokenizer.bracket_ids("]")
+            self.bos_d = self.tokenizer.bracket_ids("{")
+            self.eos_d = self.tokenizer.bracket_ids("}")
+
+    @property
+    def budget(self) -> int:
+        # Reserve 2 tokens for the brackets (beir_dense_retriever.py:134-136).
+        return self.max_seq_len - 2 if self.specb else self.max_seq_len
+
+    def encode(self, texts: Sequence[str], is_query: bool = False,
+               pad_to: Optional[int] = None) -> BatchEncoding:
+        budget = self.budget
+        rows: List[List[int]] = []
+        n_trunc = toks_trunc = 0
+        for txt in texts:
+            ids = self.tokenizer.encode(txt)
+            if len(ids) > budget:
+                n_trunc += 1
+                toks_trunc += len(ids) - budget
+                ids = ids[:budget]
+            if self.specb:
+                if is_query:
+                    ids = self.bos_q + ids + self.eos_q
+                else:
+                    ids = self.bos_d + ids + self.eos_d
+            rows.append(ids)
+
+        lengths = np.array([len(r) for r in rows], dtype=np.int32)
+        max_len = max(1, int(lengths.max()) if len(lengths) else 1)
+        T = pad_to if pad_to is not None else pick_bucket(max_len, self.buckets,
+                                                          self.max_seq_len)
+        T = max(T, max_len) if pad_to is None else T
+        pad_id = self.tokenizer.pad_id
+
+        input_ids = np.full((len(rows), T), pad_id, dtype=np.int32)
+        mask = np.zeros((len(rows), T), dtype=np.int32)
+        for i, r in enumerate(rows):
+            r = r[:T]
+            input_ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return BatchEncoding(input_ids, mask, np.minimum(lengths, T),
+                             n_trunc, toks_trunc)
+
+
+def encode_batch(tokenizer: Tokenizer, texts: Sequence[str], *, is_query: bool = False,
+                 specb: bool = False, max_seq_len: int = 2048,
+                 pad_to: Optional[int] = None) -> BatchEncoding:
+    return SpecbCodec(tokenizer, max_seq_len, specb).encode(texts, is_query, pad_to)
