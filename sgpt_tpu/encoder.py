@@ -1,0 +1,171 @@
+"""EmbeddingEngine — the jit-compiled batched encode path.
+
+TPU-native counterpart of the reference's two encode stacks
+(`CustomEmbedder.embed_batcher`, biencoder/beir/beir_dense_retriever.py:225-306,
+and `SentenceTransformer.encode`, sentence_transformers/SentenceTransformer.py:107-210):
+
+  * tokenize → SPECB brackets → static length-bucket padding (one compile per
+    (batch, seqlen) bucket instead of ragged pad-to-longest),
+  * decoder forward + pooling + optional L2-normalize fused in ONE jit — the
+    hidden states never leave the device (the reference round-trips every batch's
+    full hidden-state stack to host, beir_dense_retriever.py:221),
+  * length-sorted batch formation (SentenceTransformer.py:148-149) to minimize
+    padding waste, un-sorted on output,
+  * optional layer-index selection (--layeridx sweeps, useb_dense_retriever.py)
+    and all-layer pooling methods,
+  * on-disk embedding cache for resumability (the pickle-per-chunk pattern,
+    beir_dense_retriever.py:311-338).
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.config import DecoderConfig
+from .models.decoder import forward
+from .ops.pooling import POOLERS, STACK_POOLERS, learned_weighted_mean_pool, normalize
+from .tokenization.base import Tokenizer
+from .tokenization.specb import SpecbCodec, pick_bucket
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "layeridx", "do_normalize",
+                                   "has_learned_weights"))
+def _embed_step(params, input_ids, mask, learned_weights, cfg: DecoderConfig,
+                method: str, layeridx: int, do_normalize: bool,
+                has_learned_weights: bool):
+    """One fused forward+pool step. All shapes static."""
+    needs_stack = (method in STACK_POOLERS) or (layeridx not in (-1, cfg.num_layers))
+    if needs_stack:
+        stack = forward(params, input_ids, mask, cfg, output_hidden_states=True)
+        if method in STACK_POOLERS:
+            emb = STACK_POOLERS[method](stack, mask)
+        else:
+            hidden = stack[layeridx]
+            emb = _pool_single(hidden, mask, method, learned_weights,
+                               has_learned_weights)
+    else:
+        hidden = forward(params, input_ids, mask, cfg)
+        emb = _pool_single(hidden, mask, method, learned_weights, has_learned_weights)
+    if do_normalize:
+        emb = normalize(emb)
+    return emb
+
+
+def _pool_single(hidden, mask, method, learned_weights, has_learned_weights):
+    if method == "learned_weightedmean" or (has_learned_weights and method == "weightedmean"):
+        return learned_weighted_mean_pool(hidden, mask, learned_weights)
+    return POOLERS[method](hidden, mask)
+
+
+class EmbeddingEngine:
+    """Batched sentence embedding over a GPT decoder."""
+
+    def __init__(
+        self,
+        params,
+        cfg: DecoderConfig,
+        tokenizer: Tokenizer,
+        *,
+        method: str = "weightedmean",
+        specb: bool = False,
+        layeridx: int = -1,
+        max_seq_len: Optional[int] = None,
+        batch_size: int = 32,
+        normalize_embeddings: bool = False,
+        learned_weights: Optional[jax.Array] = None,
+        cache_dir: Optional[str] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.method = method
+        self.layeridx = layeridx
+        self.batch_size = batch_size
+        self.normalize = normalize_embeddings
+        self.learned_weights = (learned_weights if learned_weights is not None
+                                else jnp.zeros((0,), jnp.float32))
+        self.has_learned_weights = learned_weights is not None
+        self.cache_dir = cache_dir
+        max_seq_len = max_seq_len or cfg.max_position_embeddings
+        self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=specb)
+
+    # ------------------------------------------------------------------
+    def encode(self, texts: Sequence[str], *, is_query: bool = False,
+               show_progress: bool = False) -> np.ndarray:
+        """Embed a list of texts → (N, D) numpy array (original order)."""
+        if len(texts) == 0:
+            return np.zeros((0, self.cfg.hidden_size), np.float32)
+
+        cached = self._cache_load(texts, is_query)
+        if cached is not None:
+            return cached
+
+        # Length-sorted batching (longest first) to minimize padding waste.
+        order = np.argsort([-len(t) for t in texts], kind="stable")
+        out = np.zeros((len(texts), self.cfg.hidden_size), np.float32)
+        B = self.batch_size
+        for s in range(0, len(order), B):
+            sel = order[s : s + B]
+            batch = [texts[i] for i in sel]
+            enc = self.codec.encode(batch, is_query=is_query)
+            ids, mask = enc.input_ids, enc.attention_mask
+            if len(batch) < B:  # pad batch to static size
+                pad = B - len(batch)
+                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))])
+                mask = np.concatenate([mask, np.tile(mask[-1:], (pad, 1))])
+            if enc.n_truncated:
+                logger.warning("Truncated %d/%d docs by %d tokens",
+                               enc.n_truncated, len(batch), enc.tokens_truncated)
+            emb = _embed_step(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                              self.learned_weights, self.cfg, self.method,
+                              self.layeridx, self.normalize,
+                              self.has_learned_weights)
+            out[sel] = np.asarray(emb[: len(batch)], np.float32)
+        self._cache_store(texts, is_query, out)
+        return out
+
+    # ST-compat aliases (SentenceTransformer.encode / encode_queries / encode_corpus)
+    def encode_queries(self, queries: Sequence[str], **kw) -> np.ndarray:
+        kw.pop("batch_size", None)
+        return self.encode(list(queries), is_query=True)
+
+    def encode_corpus(self, corpus, **kw) -> np.ndarray:
+        kw.pop("batch_size", None)
+        texts = [
+            (d.get("title", "") + " " + d["text"]).strip() if isinstance(d, dict) else d
+            for d in corpus
+        ]
+        return self.encode(texts, is_query=False)
+
+    # ------------------------------------------------------------------
+    def _cache_key(self, texts, is_query) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        h = hashlib.sha1()
+        h.update(f"{self.method}|{self.layeridx}|{self.codec.specb}|{is_query}|"
+                 f"{self.normalize}|{len(texts)}".encode())
+        for t in texts[:100]:
+            h.update(t[:200].encode())
+        return os.path.join(self.cache_dir, h.hexdigest() + ".npy")
+
+    def _cache_load(self, texts, is_query):
+        key = self._cache_key(texts, is_query)
+        if key and os.path.exists(key):
+            logger.info("Loaded embeddings from cache %s", key)
+            return np.load(key)
+        return None
+
+    def _cache_store(self, texts, is_query, emb):
+        key = self._cache_key(texts, is_query)
+        if key:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            np.save(key, emb)

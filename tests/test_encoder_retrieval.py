@@ -1,0 +1,116 @@
+"""End-to-end: tokenize → encode → retrieve → evaluate on a synthetic BEIR dataset.
+
+This is the minimum-slice integration test from SURVEY.md §7 (layers 1-5,
+zero training): a tiny random GPT must retrieve lexically-identical docs
+for their own queries (identical text ⇒ identical embedding ⇒ cos=1).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from sgpt_tpu.encoder import EmbeddingEngine
+from sgpt_tpu.evaluation import EvaluateRetrieval, load_beir_dataset
+from sgpt_tpu.models import tiny, init_params
+from sgpt_tpu.retrieval import DenseRetriever
+from sgpt_tpu.tokenization import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    return EmbeddingEngine(params, cfg, SimpleTokenizer(vocab_size=cfg.vocab_size),
+                           method="weightedmean", specb=True, batch_size=4)
+
+
+def test_encode_shapes_and_determinism(engine):
+    texts = ["alpha beta gamma", "delta", "epsilon zeta eta theta iota"]
+    e1 = engine.encode(texts)
+    e2 = engine.encode(texts)
+    assert e1.shape == (3, engine.cfg.hidden_size)
+    np.testing.assert_array_equal(e1, e2)  # deterministic (useb README contract)
+
+
+def test_order_invariance(engine):
+    texts = ["one two three", "a much longer document with many words inside it", "short"]
+    fwd = engine.encode(texts)
+    rev = engine.encode(texts[::-1])
+    np.testing.assert_allclose(fwd, rev[::-1], atol=1e-5)
+
+
+def test_query_doc_specb_differ(engine):
+    q = engine.encode(["same text"], is_query=True)
+    d = engine.encode(["same text"], is_query=False)
+    assert np.abs(q - d).max() > 1e-4  # brackets must change the embedding
+
+
+def test_end_to_end_retrieval(tmp_path, engine):
+    docs = {
+        "d0": "the quick brown fox jumps over the lazy dog",
+        "d1": "semantic search with neural sentence embeddings",
+        "d2": "cooking pasta requires boiling salted water",
+        "d3": "quantum computing uses superconducting qubits",
+        "d4": "the stock market closed higher on friday",
+    }
+    # identical-text queries must retrieve their own doc at rank 1
+    corpus = {d: {"title": "", "text": t} for d, t in docs.items()}
+    queries = {f"q{i}": docs[f"d{i}"] for i in range(5)}
+    qrels = {f"q{i}": {f"d{i}": 1} for i in range(5)}
+
+    retriever = DenseRetriever(engine, score_function="cos_sim", device_chunk=128)
+    ev = EvaluateRetrieval(retriever, k_values=(1, 3, 5))
+    results = ev.retrieve(corpus, queries)
+    ndcg, _map, recall, precision = ev.evaluate(qrels, results, (1, 3, 5))
+    assert ndcg["NDCG@1"] == 1.0, f"self-retrieval failed: {results}"
+    assert recall["Recall@1"] == 1.0
+
+
+def test_beir_loader_roundtrip(tmp_path):
+    os.makedirs(tmp_path / "qrels")
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        f.write(json.dumps({"_id": "d1", "title": "T", "text": "hello"}) + "\n")
+        f.write(json.dumps({"_id": "d2", "title": "", "text": ""}) + "\n")  # empty → dropped
+    with open(tmp_path / "queries.jsonl", "w") as f:
+        f.write(json.dumps({"_id": "q1", "text": "hi"}) + "\n")
+        f.write(json.dumps({"_id": "q2", "text": "not in qrels"}) + "\n")
+    with open(tmp_path / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\nq1\td1\t1\n")
+    corpus, queries, qrels = load_beir_dataset(str(tmp_path), "test")
+    assert list(corpus) == ["d1"]
+    assert list(queries) == ["q1"]  # q2 not in qrels → dropped
+    assert qrels == {"q1": {"d1": 1}}
+
+
+def test_embedding_cache(tmp_path):
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    eng = EmbeddingEngine(params, cfg, SimpleTokenizer(vocab_size=cfg.vocab_size),
+                          cache_dir=str(tmp_path), batch_size=2)
+    texts = ["cache me", "if you can"]
+    e1 = eng.encode(texts)
+    assert len(os.listdir(tmp_path)) == 1
+    e2 = eng.encode(texts)  # hits cache
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_layeridx_selection():
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    e_last = EmbeddingEngine(params, cfg, tok, layeridx=-1).encode(["a b c"])
+    e_mid = EmbeddingEngine(params, cfg, tok, layeridx=2).encode(["a b c"])
+    assert np.abs(e_last - e_mid).max() > 1e-5
+
+
+def test_stack_pooling_methods():
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    for method in ("meanmean", "lasttokenmean"):
+        e = EmbeddingEngine(params, cfg, tok, method=method).encode(["x y z"])
+        assert e.shape == (1, cfg.hidden_size)
+        assert np.isfinite(e).all()
