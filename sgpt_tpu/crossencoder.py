@@ -1,0 +1,155 @@
+"""Zero-shot cross-encoder reranking: score(query, doc) = log P(query | prompt(doc)).
+
+TPU-native rebuild of the reference's `GPTRanker` + `_loglikelihood_tokens`
+(crossencoder/beir/sgptce.py:150-341). Behavioral parity points:
+
+  * main prompt "G": 'Documents are searched to find matches with the same
+    content.\nThe document "{doc}" is a good search result for "' (sgptce.py:74),
+  * left-truncation of (context+continuation) that PRESERVES the instruction
+    prefix: (ctx[:ilen] + (ctx[ilen:] + cont)[-(max_len+1-ilen):])[:-1]
+    (sgptce.py:199-205),
+  * length-descending ordering with request dedup (Reorderer, sgptce.py:102-129),
+  * score = sum of continuation-token log-probs (sgptce.py:237-260),
+  * optional vocab sub-selection and few-shot prefixes (sgptce.py:227,311-316).
+
+TPU-first differences: rows pack into static (batch, bucket) shapes so each
+bucket compiles once; the forward+score is one fused jit (ops/logprobs).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.config import DecoderConfig
+from .ops.logprobs import continuation_scores
+from .tokenization.base import Tokenizer
+from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket
+
+logger = logging.getLogger(__name__)
+
+PROMPT_G = ('Documents are searched to find matches with the same content.\n'
+            'The document "{}" is a good search result for "')
+
+
+class CrossEncoderRanker:
+    """predict([(query, doc), ...]) -> list of log-prob scores."""
+
+    def __init__(self, params, cfg: DecoderConfig, tokenizer: Tokenizer, *,
+                 prompt_doc: str = PROMPT_G, use_prompt: bool = True,
+                 fewshots: Optional[Tuple[str, str]] = None,
+                 prompt_doc_start: str = "{}\n{}\n",
+                 batch_size: int = 16, max_length: Optional[int] = None,
+                 vocab_subset: Optional[Sequence[int]] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.prompt_doc = prompt_doc
+        self.use_prompt = use_prompt
+        self.batch_size = batch_size
+        self.max_length = max_length or cfg.max_position_embeddings
+
+        # tokens before the doc slot are the protected instruction prefix
+        self.instruction_len = len(tokenizer.encode(
+            prompt_doc[: prompt_doc.index("{")])) if use_prompt else 0
+        self.fewshot_prefix = ""
+        if fewshots:
+            self.fewshot_prefix = prompt_doc_start.format(fewshots[0], fewshots[1])
+            self.instruction_len += len(tokenizer.encode(self.fewshot_prefix))
+
+        self.vocab_mask = None
+        if vocab_subset is not None:
+            vm = np.zeros((cfg.vocab_size,), bool)
+            vm[np.asarray(list(vocab_subset))] = True
+            self.vocab_mask = jnp.asarray(vm)
+
+    # ------------------------------------------------------------------
+    def _pack(self, context_enc: List[int], continuation_enc: List[int]):
+        """Instruction-preserving left truncation (sgptce.py:199-205)."""
+        ilen = min(self.instruction_len, len(context_enc))
+        body = (context_enc[ilen:] + continuation_enc)[-(self.max_length + 1 - ilen):]
+        inp = (context_enc[:ilen] + body)[:-1]
+        return inp, len(inp), len(continuation_enc)
+
+    def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> List[float]:
+        """pairs: (continuation, context) token-level requests, already prompted."""
+        enc = []
+        for continuation, context in pairs:
+            ctx = ([self.tokenizer.eos_id] if context == ""
+                   else self.tokenizer.encode(context))
+            cont = self.tokenizer.encode(continuation)
+            if not cont:
+                cont = [self.tokenizer.eos_id]
+            enc.append((ctx, cont))
+
+        # dedupe + length-descending order (Reorderer semantics)
+        uniq: Dict[Tuple, List[int]] = {}
+        for i, (ctx, cont) in enumerate(enc):
+            uniq.setdefault((tuple(ctx), tuple(cont)), []).append(i)
+        keys = sorted(uniq, key=lambda kc: -len(kc[0] + kc[1]))
+
+        scores = np.zeros(len(enc), np.float64)
+        B = self.batch_size
+        for s in range(0, len(keys), B):
+            batch = keys[s : s + B]
+            rows = [self._pack(list(c), list(t)) for c, t in batch]
+            maxlen = max(r[1] for r in rows)
+            T = pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length)
+            T = max(T, maxlen)
+
+            ids = np.zeros((B, T), np.int32)
+            targets = np.zeros((B, T), np.int32)
+            tmask = np.zeros((B, T), np.float32)
+            for bi, ((ctx, cont), (inp, inplen, contlen)) in enumerate(zip(batch, rows)):
+                ids[bi, :inplen] = inp
+                # logits at position t predict token t+1: the continuation
+                # occupies input positions [inplen-contlen, inplen) in the
+                # shifted frame (sgptce.py diagram at :175-181)
+                cont_ids = list(batch[bi][1])[-contlen:]
+                targets[bi, inplen - contlen : inplen] = cont_ids
+                tmask[bi, inplen - contlen : inplen] = 1.0
+            # causal attention: right padding cannot influence scored positions,
+            # so a full-ones mask is safe (the reference passes no mask at all)
+            amask = np.ones((B, T), np.int32)
+            out = continuation_scores(self.params, jnp.asarray(ids), jnp.asarray(amask),
+                                      jnp.asarray(targets), jnp.asarray(tmask),
+                                      self.cfg, self.vocab_mask)
+            out = np.asarray(out, np.float64)
+            for bi, key in enumerate(batch):
+                for orig in uniq[key]:
+                    scores[orig] = out[bi]
+        return scores.tolist()
+
+    def predict(self, sentences: Sequence[Tuple[str, str]],
+                batch_size: Optional[int] = None, **kw) -> List[float]:
+        """sentences: (query, document) pairs — query is the scored continuation."""
+        del batch_size  # fixed at construction (jit bucket reuse)
+        requests = []
+        for query, doc in sentences:
+            ctx = (self.fewshot_prefix + self.prompt_doc.format(doc)
+                   if self.use_prompt else doc)
+            requests.append((query, ctx))
+        return self.score_pairs(requests)
+
+
+def rerank(ranker: CrossEncoderRanker, corpus: Dict[str, Dict[str, str]],
+           queries: Dict[str, str], first_stage: Dict[str, Dict[str, float]],
+           top_k: int = 100) -> Dict[str, Dict[str, float]]:
+    """Rerank first-stage (e.g. BM25) results — beir.reranking.Rerank equivalent
+    (driven at sgptce.py:365,390)."""
+    pairs, keys = [], []
+    for qid, hits in first_stage.items():
+        docs = sorted(hits.items(), key=lambda x: -x[1])[:top_k]
+        for did, _ in docs:
+            doc = corpus[did]
+            text = (doc.get("title", "") + " " + doc.get("text", "")).strip()
+            pairs.append((queries[qid], text))
+            keys.append((qid, did))
+    logger.info("Reranking %d pairs", len(pairs))
+    scores = ranker.predict(pairs)
+    out: Dict[str, Dict[str, float]] = {qid: {} for qid in first_stage}
+    for (qid, did), sc in zip(keys, scores):
+        out[qid][did] = float(sc)
+    return out

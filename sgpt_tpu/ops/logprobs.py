@@ -1,0 +1,47 @@
+"""Batched continuation log-probability scoring (the SGPT-CE hot kernel).
+
+One fused jit: decoder forward → LM head → log_softmax → gather continuation
+token log-probs → masked sum. Replaces the reference's per-chunk
+`log_softmax` + python slicing + `gather` + host sum
+(crossencoder/beir/sgptce.py:237-260) — here the continuation window is
+expressed as a (B, T) target/weight pair so shapes stay static and the whole
+score computes on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import DecoderConfig
+from ..models.decoder import forward, logits
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def continuation_scores(params, input_ids, attention_mask, targets, target_mask,
+                        cfg: DecoderConfig, vocab_mask: Optional[jax.Array] = None):
+    """Sum of log P(target_t | prefix) over positions where target_mask==1.
+
+    input_ids:  (B, T) the packed (context + continuation)[:-1] rows
+    targets:    (B, T) token ids to score at each position (shifted by one)
+    target_mask:(B, T) 1.0 on continuation positions, 0 elsewhere
+    vocab_mask: optional (V,) bool — restrict softmax support to a vocab subset
+                (the reference's sub_select_idx ablation, sgptce.py:227-235)
+    """
+    h = forward(params, input_ids, attention_mask, cfg)
+    lg = logits(params, h, cfg).astype(jnp.float32)
+    if vocab_mask is not None:
+        lg = jnp.where(vocab_mask[None, None, :], lg, jnp.float32(-jnp.inf))
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    return jnp.sum(tok_lp * target_mask.astype(jnp.float32), axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def greedy_continuations(params, input_ids, attention_mask, cfg: DecoderConfig):
+    """Argmax next-token ids (B, T) — for greedy-match diagnostics."""
+    h = forward(params, input_ids, attention_mask, cfg)
+    return jnp.argmax(logits(params, h, cfg), axis=-1)
