@@ -1,0 +1,229 @@
+"""Contrastive trainer — the TPU-native `SentenceTransformer.fit`.
+
+Covers the reference training loop's feature set
+(sentence_transformers/SentenceTransformer.py:616-844) with pjit-era mechanics:
+
+  * MNRL loss over (anchor, positive[, hard-negative]) triplets, scale 20
+  * BitFit (`--freezenonbias`) via masked optax updates (training/bitfit.py)
+  * AdamW with bias/LayerNorm excluded from weight decay (:729-733)
+  * warmup-linear schedule (:940-957), grad clipping (max_grad_norm)
+  * gradient accumulation via optax.MultiSteps (:792-815)
+  * GradCache chunked big-batch path (`--gradcache --chunksize`, training/gradcache.py)
+  * evaluator-during-training + best-model tracking (:861-876)
+  * step checkpointing with retention limit (:878-891), Orbax-based
+  * one process, one mesh: batch sharded over dp, params optionally TP-sharded
+
+The reference's DDP/Accelerate plumbing has no analog here — a jit'd train step
+over a Mesh replaces all of it (SURVEY.md §2c).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import mnrl_loss
+from ..models.config import DecoderConfig
+from ..models.decoder import forward
+from ..ops.pooling import POOLERS, weighted_mean_pool
+from ..tokenization.base import Tokenizer
+from ..tokenization.specb import SpecbCodec
+from .bitfit import bitfit_mask
+from .gradcache import chunk_tree, gradcache_value_and_grad
+from .schedules import make_schedule
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 2e-5                      # ST fit default (SentenceTransformer.py:625)
+    weight_decay: float = 0.01
+    epochs: int = 1
+    batch_size: int = 64
+    max_seq_len: int = 75                 # NLI default (training_nli_v2.py:64)
+    scheduler: str = "warmuplinear"
+    warmup_ratio: float = 0.1             # ST convention: 10% of steps
+    max_grad_norm: float = 1.0
+    grad_accum: int = 1
+    scale: float = 20.0
+    similarity: str = "cos_sim"
+    pooling: str = "weightedmean"
+    specb: bool = False
+    freeze_nonbias: bool = False          # BitFit
+    train_wte: bool = False
+    use_gradcache: bool = False
+    chunk_size: int = 8
+    eval_steps: int = 0                   # 0 = only at epoch end
+    checkpoint_steps: int = 0
+    checkpoint_limit: int = 2
+    output_dir: Optional[str] = None
+    seed: int = 0
+
+
+class ContrastiveTrainer:
+    def __init__(self, params, cfg: DecoderConfig, tokenizer: Tokenizer,
+                 train_config: TrainConfig):
+        self.cfg = cfg
+        self.tc = train_config
+        self.tokenizer = tokenizer
+        self.codec = SpecbCodec(tokenizer, max_seq_len=train_config.max_seq_len,
+                                specb=train_config.specb)
+        self.params = params
+        self.best_score = -1e9
+        self.best_params = None
+        self._step_fn = None
+        self._opt = None
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self, total_steps: int):
+        tc = self.tc
+        schedule = make_schedule(tc.scheduler, tc.lr,
+                                 int(tc.warmup_ratio * total_steps), total_steps)
+
+        # no weight decay on bias/LayerNorm leaves (ST fit :729-733)
+        decay_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: not any(
+                getattr(p, "key", None) in ("bias", "bi", "bo", "bq", "bk", "bv",
+                                            "scale")
+                for p in path),
+            self.params)
+        base = optax.chain(
+            optax.clip_by_global_norm(tc.max_grad_norm),
+            optax.adamw(schedule, weight_decay=tc.weight_decay, mask=decay_mask),
+        )
+        if tc.freeze_nonbias:
+            mask = bitfit_mask(self.params, train_wte=tc.train_wte)
+            inv = jax.tree.map(lambda m: not m, mask)
+            # zero frozen grads BEFORE (clip norm sees only trainable grads) and
+            # AFTER (adamw weight decay must not touch frozen leaves)
+            base = optax.chain(optax.masked(optax.set_to_zero(), inv), base,
+                               optax.masked(optax.set_to_zero(), inv))
+        if tc.grad_accum > 1:
+            base = optax.MultiSteps(base, every_k_schedule=tc.grad_accum)
+        return base
+
+    def _encode_fn(self):
+        cfg, method = self.cfg, self.tc.pooling
+        pooler = POOLERS.get(method, weighted_mean_pool)
+
+        def encode(params, chunk):
+            h = forward(params, chunk["ids"], chunk["mask"], cfg)
+            return pooler(h, chunk["mask"])
+
+        return encode
+
+    def _build_step(self):
+        tc = self.tc
+        encode = self._encode_fn()
+        loss_fn = partial(mnrl_loss, scale=tc.scale, similarity=tc.similarity)
+
+        if tc.use_gradcache:
+            vg = gradcache_value_and_grad(
+                encode, lambda a, p, n=None: (loss_fn(a, p) if n is None
+                                              else loss_fn(a, p, n)))
+
+            @jax.jit
+            def step(params, opt_state, *towers):
+                loss, grads = vg(params, *towers)
+                updates, opt_state = self._opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+        else:
+            def direct_loss(params, towers):
+                reps = [encode(params, t) for t in towers]
+                return loss_fn(*reps)
+
+            @jax.jit
+            def step(params, opt_state, *towers):
+                loss, grads = jax.value_and_grad(direct_loss)(params, list(towers))
+                updates, opt_state = self._opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _tokenize_tower(self, texts: Sequence[str], is_query: bool):
+        enc = self.codec.encode(list(texts), is_query=is_query,
+                                pad_to=self.tc.max_seq_len)
+        return {"ids": jnp.asarray(enc.input_ids),
+                "mask": jnp.asarray(enc.attention_mask)}
+
+    def _prep_batch(self, batch: Sequence[Tuple[str, ...]]):
+        """batch of (anchor, positive[, negative]) → tower dicts."""
+        cols = list(zip(*batch))
+        towers = [self._tokenize_tower(cols[0], is_query=True)]
+        for c in cols[1:]:
+            towers.append(self._tokenize_tower(c, is_query=False))
+        if self.tc.use_gradcache:
+            towers = [chunk_tree(t, self.tc.chunk_size) for t in towers]
+        return towers
+
+    # ------------------------------------------------------------------
+    def fit(self, train_batches: Callable[[], Iterable[Sequence[Tuple[str, ...]]]],
+            steps_per_epoch: int,
+            evaluator: Optional[Callable] = None) -> dict:
+        """train_batches(): fresh iterator of batches each epoch.
+
+        evaluator(params) -> float; higher is better (ST convention).
+        Returns {'params', 'best_params', 'best_score', 'history'}.
+        """
+        tc = self.tc
+        total = steps_per_epoch * tc.epochs
+        self._opt = self._build_optimizer(total)
+        opt_state = self._opt.init(self.params)
+        step_fn = self._build_step()
+
+        history: List[dict] = []
+        gstep = 0
+        for epoch in range(tc.epochs):
+            t0 = time.time()
+            for batch in train_batches():
+                towers = self._prep_batch(batch)
+                self.params, opt_state, loss = step_fn(self.params, opt_state, *towers)
+                gstep += 1
+                if gstep % max(1, steps_per_epoch // 10) == 0:
+                    logger.info("epoch %d step %d loss %.4f", epoch, gstep, float(loss))
+                history.append({"step": gstep, "loss": float(loss)})
+                if evaluator and tc.eval_steps and gstep % tc.eval_steps == 0:
+                    self._evaluate(evaluator, gstep, history)
+                if tc.checkpoint_steps and gstep % tc.checkpoint_steps == 0:
+                    self.save_checkpoint(gstep, opt_state)
+            if evaluator:
+                self._evaluate(evaluator, gstep, history)
+            logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+
+        return {"params": self.params, "best_params": self.best_params or self.params,
+                "best_score": self.best_score, "history": history}
+
+    def _evaluate(self, evaluator, step, history):
+        score = float(evaluator(self.params))
+        history.append({"step": step, "eval_score": score})
+        logger.info("eval @%d: %.4f", step, score)
+        if score > self.best_score:  # best-model save (ST fit :861-876)
+            self.best_score = score
+            self.best_params = jax.tree.map(lambda x: x, self.params)
+            if self.tc.output_dir:
+                self.save_model(os.path.join(self.tc.output_dir, "best"))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int, opt_state=None):
+        """Step checkpoint with retention pruning (ST fit :878-891)."""
+        if not self.tc.output_dir:
+            return
+        from .checkpoint import save_checkpoint as _save, prune_checkpoints
+        path = os.path.join(self.tc.output_dir, "checkpoints", str(step))
+        _save(path, self.params, opt_state=opt_state, step=step)
+        prune_checkpoints(os.path.join(self.tc.output_dir, "checkpoints"),
+                          self.tc.checkpoint_limit)
+
+    def save_model(self, path: str):
+        from .checkpoint import save_checkpoint as _save
+        _save(path, self.params, step=None)
