@@ -1,0 +1,101 @@
+"""BEIR bi-encoder evaluation driver.
+
+Flag surface mirrors the reference CLI (biencoder/beir/beir_dense_retriever.py:31-98):
+    python -m sgpt_tpu.cli.beir_retriever --modelname <hf-name> --dataset scifact \
+        --method weightedmean --specb --maxseqlen 300 [--layeridx -1] [--usest]
+
+plus --computeavg / --selectbest aggregation modes (:506-592) and --randominit
+for zero-egress smoke runs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+from .common import build_model, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modelname", default="EleutherAI/gpt-neo-125M")
+    p.add_argument("--dataset", default="scifact")
+    p.add_argument("--datapath", default="./datasets")
+    p.add_argument("--method", default="weightedmean",
+                   choices=["mean", "meanmean", "weightedmean", "lasttoken",
+                            "lasttokenmean"])
+    p.add_argument("--layeridx", type=int, default=-1)
+    p.add_argument("--specb", action="store_true")
+    p.add_argument("--maxseqlen", type=int, default=None)
+    p.add_argument("--batchsize", type=int, default=32)
+    p.add_argument("--saveemb", action="store_true")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--computeavg", action="store_true")
+    p.add_argument("--selectbest", action="store_true")
+    p.add_argument("--randominit", action="store_true",
+                   help="random weights (smoke/debug; reference --reinit)")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--topk", type=int, default=1000)
+    return p.parse_args()
+
+
+def main(args=None):
+    setup_logging()
+    args = args or parse_args()
+
+    from ..evaluation.aggregate import ResultsStore
+    store = ResultsStore()
+    if args.computeavg:
+        store.compute_model_avg()
+        store.save()
+        return
+    if args.selectbest:
+        best = store.select_best_ckpt()
+        with open("./beir_embeddings_best_ndcgs.json", "w") as f:
+            json.dump({"ndcgs": best}, f)
+        return
+
+    from ..encoder import EmbeddingEngine
+    from ..evaluation import EvaluateRetrieval, load_beir_dataset
+    from ..retrieval import DenseRetriever
+
+    data_path = os.path.join(args.datapath, args.dataset)
+    split = "dev" if args.dataset == "msmarco" else "test"
+    corpus, queries, qrels = load_beir_dataset(data_path, split)
+
+    params, cfg, tokenizer = build_model(args.modelname,
+                                         random_init=args.randominit,
+                                         dtype_str=args.dtype)
+    engine = EmbeddingEngine(
+        params, cfg, tokenizer, method=args.method, specb=args.specb,
+        layeridx=args.layeridx, max_seq_len=args.maxseqlen,
+        batch_size=args.batchsize,
+        cache_dir=(f"embeddings/{args.modelname.split('/')[-1]}/"
+                   f"{args.method}/{args.dataset}" if args.saveemb else None))
+
+    model_name = args.modelname.replace("/", "_")
+    dataset = args.dataset.replace("/", "_")
+    out_path = f"./results_{model_name}_{args.method}_{dataset}.json"
+    if os.path.exists(out_path) and not args.overwrite:
+        logger.info("Found %s - Skipping ...", out_path)
+        return
+
+    retriever = EvaluateRetrieval(DenseRetriever(engine),
+                                  k_values=[k for k in (1, 3, 5, 10, 100, 1000)
+                                            if k <= args.topk])
+    results = retriever.retrieve(corpus, queries)
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+
+    ndcg, _map, recall, precision = retriever.evaluate(qrels, results,
+                                                       retriever.k_values)
+    logger.info("nDCG: %s", ndcg)
+    store.add(model_name, dataset, ndcg, _map, recall, precision)
+    store.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Shared CLI plumbing: logging setup + model construction from flags."""
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def setup_logging():
+    logging.basicConfig(
+        format="%(asctime)s - %(message)s", datefmt="%Y-%m-%d %H:%M:%S",
+        level=logging.INFO)
+
+
+def build_model(model_name: str, *, random_init: bool = False,
+                dtype_str: str = "bfloat16"):
+    """(params, cfg, tokenizer) from an HF name/path, or a random-init preset.
+
+    `--randominit` mirrors the reference's `--reinit` debugging flag
+    (beir_dense_retriever.py:124-126) and doubles as the zero-egress smoke path.
+    """
+    from ..models import (gpt_neo, gpt_j_6b, bloom, load_pretrained, init_params,
+                          cast_params, guess_family)
+    from ..tokenization import get_tokenizer
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_str]
+    low = model_name.lower()
+    if random_init:
+        if "6b" in low or "5.8b" in low or "6.1b" in low:
+            cfg = gpt_j_6b()
+        elif "bloom" in low:
+            cfg = bloom("1b7")
+        elif "1.3b" in low:
+            cfg = gpt_neo("1.3b")
+        elif "2.7b" in low:
+            cfg = gpt_neo("2.7b")
+        else:
+            cfg = gpt_neo("125m")
+        cfg = cfg.replace(dtype=dtype, matmul_precision="default")
+        params = cast_params(init_params(cfg, jax.random.key(0)), dtype)
+    else:
+        params, cfg = load_pretrained(model_name, dtype=dtype)
+        cfg = cfg.replace(dtype=dtype)
+        if dtype != jnp.float32:
+            cfg = cfg.replace(matmul_precision="default")
+    tokenizer = get_tokenizer(None if random_init else model_name)
+    return params, cfg, tokenizer

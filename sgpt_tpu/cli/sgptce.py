@@ -1,0 +1,77 @@
+"""Cross-encoder reranking driver.
+
+Mirrors crossencoder/beir/sgptce.py's surface: load BM25 first-stage results,
+rerank top-100 with prompt-conditioned log-prob scoring, evaluate both.
+    python -m sgpt_tpu.cli.sgptce --dataset scifact --modelpath EleutherAI/gpt-j-6B \
+        --bm25results bm25_results/scifact.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+from .common import build_model, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="scifact")
+    p.add_argument("--modelpath", default="EleutherAI/gpt-neo-125M")
+    p.add_argument("--datadir", default="./datasets")
+    p.add_argument("--bm25results", required=False,
+                   help="json of first-stage results {qid: {docid: score}}")
+    p.add_argument("--batchsize", type=int, default=16)
+    p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--maxseqlen", type=int, default=None)
+    p.add_argument("--randominit", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--output", default=None)
+    return p.parse_args()
+
+
+def main(args=None):
+    setup_logging()
+    args = args or parse_args()
+
+    from ..crossencoder import CrossEncoderRanker, rerank
+    from ..evaluation import EvaluateRetrieval, load_beir_dataset
+
+    data_path = os.path.join(args.datadir, args.dataset)
+    split = "dev" if args.dataset == "msmarco" else "test"
+    corpus, queries, qrels = load_beir_dataset(data_path, split)
+
+    if args.bm25results:
+        with open(args.bm25results) as f:
+            first_stage = json.load(f)
+    else:
+        raise SystemExit("--bm25results required (first-stage candidates json)")
+
+    params, cfg, tokenizer = build_model(args.modelpath,
+                                         random_init=args.randominit,
+                                         dtype_str=args.dtype)
+    ranker = CrossEncoderRanker(params, cfg, tokenizer,
+                                batch_size=args.batchsize,
+                                max_length=args.maxseqlen)
+    reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
+
+    k_values = (1, 3, 5, 10, 100)
+    ndcg_bm25, *_ = EvaluateRetrieval.evaluate(qrels, first_stage, k_values)
+    ndcg_ce, _map, recall, precision = EvaluateRetrieval.evaluate(qrels, reranked,
+                                                                  k_values)
+    logger.info("BM25 nDCG: %s", ndcg_bm25)
+    logger.info("SGPT-CE nDCG: %s", ndcg_ce)
+
+    out = args.output or f"./sgptce_{args.dataset}.json"
+    with open(out, "w") as f:
+        json.dump({"dataset": args.dataset, "model": args.modelpath,
+                   "bm25_ndcg": ndcg_bm25, "ce_ndcg": ndcg_ce,
+                   "ce_map": _map, "ce_recall": recall,
+                   "ce_precision": precision}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

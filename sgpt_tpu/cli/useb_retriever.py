@@ -1,0 +1,60 @@
+"""USEB bi-encoder evaluation driver.
+
+Mirrors biencoder/useb/useb_dense_retriever.py's surface: layer-index sweeps
+(--layeridx), pooling method selection, the four USEB tasks.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+from .common import build_model, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modelname", default="EleutherAI/gpt-neo-125M")
+    p.add_argument("--method", default="weightedmean")
+    p.add_argument("--layeridx", type=int, default=-1)
+    p.add_argument("--batchsize", type=int, default=32)
+    p.add_argument("--maxseqlen", type=int, default=None)
+    p.add_argument("--specb", action="store_true")
+    p.add_argument("--datapath", default="./data-eval")
+    p.add_argument("--evaltype", default="test", choices=["valid", "test"])
+    p.add_argument("--tasks", nargs="+",
+                   default=["askubuntu", "cqadupstack", "twitterpara", "scidocs"])
+    p.add_argument("--randominit", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--output", default="./useb_results.json")
+    return p.parse_args()
+
+
+def main(args=None):
+    setup_logging()
+    args = args or parse_args()
+
+    from ..encoder import EmbeddingEngine
+    from ..evaluation.useb import run
+
+    params, cfg, tokenizer = build_model(args.modelname,
+                                         random_init=args.randominit,
+                                         dtype_str=args.dtype)
+    engine = EmbeddingEngine(params, cfg, tokenizer, method=args.method,
+                             specb=args.specb, layeridx=args.layeridx,
+                             max_seq_len=args.maxseqlen, batch_size=args.batchsize)
+
+    semb_fns = {task: engine.encode for task in args.tasks}
+    results, mains = run(semb_fns, eval_type=args.evaltype,
+                         data_eval_path=args.datapath)
+    logger.info("USEB main scores: %s", mains)
+    with open(args.output, "w") as f:
+        json.dump({"detailed": results, "main": mains,
+                   "model": args.modelname, "method": args.method,
+                   "layeridx": args.layeridx}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
