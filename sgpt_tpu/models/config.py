@@ -54,6 +54,9 @@ class DecoderConfig:
     # reduced (bf16-class) precision on TPU, which breaks checkpoint parity;
     # "highest" keeps true fp32. Serving casts to bf16 where this is moot.
     matmul_precision: str = "highest"
+    # Use the Pallas flash-attention kernel (ops/pallas/flash_attention.py) when
+    # sequence length permits (T % 128 == 0). Forward-only: serving/scoring.
+    use_flash: bool = False
 
     @property
     def head_size(self) -> int:

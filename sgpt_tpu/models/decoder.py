@@ -101,20 +101,26 @@ def _project(x, w, b):
     return y
 
 
-def attention(x: jax.Array, p: dict, cfg: DecoderConfig, mask_bias: jax.Array,
-              rope: Optional[tuple], alibi: Optional[jax.Array]) -> jax.Array:
-    """Causal multi-head attention. mask_bias: (B, 1, T, T) additive fp32 bias."""
+def _qkv(x: jax.Array, p: dict, cfg: DecoderConfig, rope: Optional[tuple]):
     B, T, _ = x.shape
     H, Dh = cfg.num_heads, cfg.head_size
-
     q = _project(x, p["wq"], p.get("bq")).reshape(B, T, H, Dh)
     k = _project(x, p["wk"], p.get("bk")).reshape(B, T, H, Dh)
     v = _project(x, p["wv"], p.get("bv")).reshape(B, T, H, Dh)
-
     if rope is not None:
         sin, cos = rope
         q = apply_rotary(q, sin, cos, cfg.rotary_dim)
         k = apply_rotary(k, sin, cos, cfg.rotary_dim)
+    return q, k, v
+
+
+def attention(x: jax.Array, p: dict, cfg: DecoderConfig, mask_bias: jax.Array,
+              rope: Optional[tuple], alibi: Optional[jax.Array]) -> jax.Array:
+    """Causal multi-head attention (XLA path; differentiable).
+    mask_bias: (B, 1, T, T) additive fp32 bias."""
+    B, T, _ = x.shape
+    H, Dh = cfg.num_heads, cfg.head_size
+    q, k, v = _qkv(x, p, cfg, rope)
 
     # Scores in fp32 (all three HF reference implementations do fp32 softmax).
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -126,6 +132,33 @@ def attention(x: jax.Array, p: dict, cfg: DecoderConfig, mask_bias: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
 
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * Dh)
+    return _project(out, p["wo"], p.get("bo"))
+
+
+def flash_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
+                          attention_mask: jax.Array, local_flag,
+                          rope: Optional[tuple],
+                          slopes: Optional[jax.Array]) -> jax.Array:
+    """Causal attention via the Pallas flash kernel (serving path)."""
+    from ..ops.pallas.flash_attention import flash_attention
+
+    B, T, _ = x.shape
+    H, Dh = cfg.num_heads, cfg.head_size
+    q, k, v = _qkv(x, p, cfg, rope)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, T, Dh)
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale_attn else 1.0
+    block = 256 if T % 256 == 0 else 128
+
+    def run(window: int):
+        return flash_attention(q, k, v, attention_mask, slopes, scale=scale,
+                               window=window, block_q=block, block_kv=block)
+
+    if any(cfg.local_flags()):
+        out = jax.lax.cond(local_flag, lambda: run(cfg.local_window),
+                           lambda: run(0))
+    else:
+        out = run(0)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
     return _project(out, p["wo"], p.get("bo"))
 
 
@@ -188,24 +221,37 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     if cfg.position_embedding == "rotary":
         rope = rope_sincos(positions, cfg.rotary_dim)
 
+    use_flash = cfg.use_flash and T % 128 == 0
     alibi = None
+    slopes = None
     if cfg.position_embedding == "alibi":
-        alibi = build_alibi_bias(attention_mask, cfg.num_heads)
+        if use_flash:
+            slopes = alibi_slopes(cfg.num_heads)
+        else:
+            alibi = build_alibi_bias(attention_mask, cfg.num_heads)
 
     any_local = any(cfg.local_flags())
-    bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window, any_local)
+    if use_flash:
+        bias_global = bias_local = None
+    else:
+        bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window,
+                                             any_local)
     is_local = jnp.asarray(cfg.local_flags())
 
     layers = params["layers"]
 
     def block(x, xs):
         p, local_flag = xs
-        if bias_local is not None:
-            mask_bias = jnp.where(local_flag, bias_local, bias_global)
-        else:
-            mask_bias = bias_global
         h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
-        attn_out = attention(h1, p["attn"], cfg, mask_bias, rope, alibi)
+        if use_flash:
+            attn_out = flash_attention_layer(h1, p["attn"], cfg, attention_mask,
+                                             local_flag, rope, slopes)
+        else:
+            if bias_local is not None:
+                mask_bias = jnp.where(local_flag, bias_local, bias_global)
+            else:
+                mask_bias = bias_global
+            attn_out = attention(h1, p["attn"], cfg, mask_bias, rope, alibi)
         if cfg.parallel_residual:
             mlp_out = mlp(h1, p["mlp"])
             x = x + attn_out + mlp_out

@@ -1,0 +1,173 @@
+"""Fused causal attention (flash-attention) Pallas TPU kernel.
+
+One kernel covers the three SGPT model families' attention variants:
+  * optional score scaling (GPT-Neo uses NONE — cfg.scale_attn=False)
+  * sliding-window (local) causal masking (GPT-Neo odd layers, window 256)
+  * ALiBi bias slope_h * key_position (BLOOM)
+  * key padding mask
+
+Never materializes the (T, T) score matrix: online-softmax over KV tiles with
+fp32 running max/sum/accumulator in VMEM scratch (the standard flash recipe,
+mapped to the TPU grid: (batch, heads, q-tiles) parallel × kv-tiles arbitrary).
+Out-of-causal-range KV tiles are skipped with @pl.when.
+
+Forward-only: serving/scoring path. Training uses the XLA attention (decoder.py),
+whose backward XLA derives automatically.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *,
+                  scale: float, window: int, block_q: int, block_kv: int,
+                  use_alibi: bool):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_kv
+
+    # Tile-level causal/window pruning: any (q,k) pair in range?
+    causal_hit = k_start <= q_start + block_q - 1
+    if window > 0:
+        run = jnp.logical_and(causal_hit,
+                              (k_start + block_kv - 1) > (q_start - window))
+    else:
+        run = causal_hit
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]                       # (block_q, Dh)
+        k = k_ref[0, 0]                       # (block_kv, Dh)
+        v = v_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (bq, bkv)
+        if scale != 1.0:
+            s = s * scale
+
+        qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = kpos <= qpos
+        if window > 0:
+            mask = jnp.logical_and(mask, kpos > qpos - window)
+        keymask = keymask_ref[b, :].astype(jnp.bool_)[None, :]  # (1, bkv)
+        mask = jnp.logical_and(mask, keymask)
+
+        if use_alibi:
+            # right-padding invariant: padded keys are masked anyway, so the raw
+            # key index equals BLOOM's (cumsum(mask)-1) position on live keys
+            slope = slopes_ref[0, h]
+            s = s + slope * kpos.astype(jnp.float32)
+
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]                                   # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                              # (bq, bkv)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    # finalize at the last kv tile that can contain in-range keys for this q tile
+    last_ki = jnp.minimum(n_kv - 1, (q_start + block_q - 1) // block_kv)
+
+    @pl.when(ki == last_ki)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) query rows
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "window", "block_q", "block_kv", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    key_mask: jax.Array,
+                    alibi_slopes: Optional[jax.Array] = None, *,
+                    scale: float = 1.0, window: int = 0,
+                    block_q: int = 128, block_kv: int = 128,
+                    interpret: Optional[bool] = None) -> jax.Array:
+    """Causal attention.
+
+    q, k, v:   (B, H, T, Dh) — T must divide by block sizes
+    key_mask:  (B, T) 1 = attend, 0 = padding
+    alibi_slopes: optional (H,) fp32 — adds slope*key_index (BLOOM)
+    scale:     score multiplier (1.0 = GPT-Neo unscaled; 1/sqrt(Dh) otherwise)
+    window:    0 = global causal; >0 = sliding window (key > query - window)
+    Returns (B, H, T, Dh) in q.dtype.
+    """
+    if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
+    B, H, T, Dh = q.shape
+    block_q = min(block_q, T)
+    block_kv = min(block_kv, T)
+    assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
+    n_q, n_kv = T // block_q, T // block_kv
+
+    if alibi_slopes is None:
+        slopes = jnp.zeros((H,), jnp.float32)
+        use_alibi = False
+    else:
+        slopes = alibi_slopes.astype(jnp.float32)
+        use_alibi = True
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, window=window if window > 0 else 0,
+        block_q=block_q, block_kv=block_kv, use_alibi=use_alibi)
+
+    grid = (B, H, n_q, n_kv)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"))
+    except TypeError:  # older/newer param surface
+        compiler_params = None
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # TPU tiling wants full leading dims on small arrays; index rows by
+            # program_id inside the kernel instead
+            pl.BlockSpec((B, block_kv), lambda b, h, qi, ki: (0, ki)),      # key_mask
+            pl.BlockSpec((1, H), lambda b, h, qi, ki: (0, 0)),              # slopes
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, Dh),
+                               lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running sum
+            pltpu.VMEM((block_q, Dh), jnp.float32),   # output accumulator
+        ],
+        **({"compiler_params": compiler_params} if compiler_params else {}),
+        interpret=interpret,
+    )(key_mask.astype(jnp.int32), slopes[None, :], q, k, v)
