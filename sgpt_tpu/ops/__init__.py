@@ -4,12 +4,12 @@ from .pooling import (
     normalize, POOLERS, STACK_POOLERS,
 )
 from .similarity import cos_sim, dot_score, pairwise_cos_sim
-from .topk import chunked_topk, merge_topk
+from .topk import chunked_topk, merge_topk, blockmax_topk
 
 __all__ = [
     "pool", "mean_pool", "weighted_mean_pool", "learned_weighted_mean_pool",
     "last_token_pool", "mean_mean_pool", "last_token_mean_pool", "max_pool",
     "cls_pool", "normalize", "POOLERS", "STACK_POOLERS",
     "cos_sim", "dot_score", "pairwise_cos_sim",
-    "chunked_topk", "merge_topk",
+    "chunked_topk", "merge_topk", "blockmax_topk",
 ]

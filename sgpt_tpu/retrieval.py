@@ -18,7 +18,7 @@ import numpy as np
 
 from .encoder import EmbeddingEngine
 from .ops.pooling import normalize
-from .ops.topk import chunked_topk
+from .ops.topk import blockmax_topk, chunked_topk
 
 logger = logging.getLogger(__name__)
 
@@ -68,12 +68,13 @@ class DenseRetriever:
                 c_emb = np.asarray(normalize(jnp.asarray(c_emb)))
 
             n = c_emb.shape[0]
-            dev_chunk = min(self.device_chunk, _round_up(n, 128))
-            n_pad = _round_up(n, dev_chunk)
+            n_pad = _round_up(n, 128)
             pad = np.zeros((n_pad, c_emb.shape[1]), c_emb.dtype)
             pad[:n] = c_emb
-            vals, idx = chunked_topk(jnp.asarray(q_emb), jnp.asarray(pad), n,
-                                     k=min(k, n_pad), chunk_size=dev_chunk)
+            # block-max candidate filtering: exact top-k at matmul speed
+            # (ops/topk.blockmax_topk; replaces the reference's torch.topk+heapq)
+            vals, idx = blockmax_topk(jnp.asarray(q_emb), jnp.asarray(pad), n,
+                                      k=min(k, n_pad), block_size=128)
             vals, idx = np.asarray(vals), np.asarray(idx).astype(np.int64) + start
             if vals.shape[1] < k:  # corpus chunk smaller than k
                 fill = np.full((Q, k - vals.shape[1]), -np.inf, np.float32)

@@ -2,7 +2,8 @@
 import numpy as np
 import jax.numpy as jnp
 
-from sgpt_tpu.ops import cos_sim, dot_score, pairwise_cos_sim, chunked_topk
+from sgpt_tpu.ops import (cos_sim, dot_score, pairwise_cos_sim, chunked_topk,
+                          blockmax_topk)
 from sgpt_tpu.ops.pooling import normalize
 
 
@@ -53,6 +54,49 @@ def test_chunked_topk_exact():
                                    np.sort(scores[qi][want_idx])[::-1], atol=1e-5)
         assert set(idx[qi]) == set(want_idx)
         assert (idx[qi] < N).all()
+
+
+def test_blockmax_topk_exact_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    Q, N, D, k = 11, 4096, 24, 50
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    corpus = rng.normal(size=(N, D)).astype(np.float32)
+    vals, idx = blockmax_topk(jnp.asarray(queries), jnp.asarray(corpus), N,
+                              k=k, block_size=128, slab_size=1024)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    scores = queries @ corpus.T
+    for qi in range(Q):
+        want = np.sort(scores[qi])[::-1][:k]
+        np.testing.assert_allclose(np.sort(vals[qi])[::-1], want, atol=1e-4)
+        assert set(idx[qi]) == set(np.argsort(-scores[qi])[:k])
+
+
+def test_blockmax_topk_clustered_topk_in_one_block():
+    """Adversarial: ALL true top-k docs in a single block must still be found."""
+    rng = np.random.default_rng(8)
+    Q, N, D, k = 3, 1024, 16, 20
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    corpus = rng.normal(size=(N, D)).astype(np.float32) * 0.01
+    # plant k high-scoring docs inside block 2 (rows 256..275)
+    for j in range(k):
+        corpus[256 + j] = queries[0] * (2.0 + 0.01 * j)
+    vals, idx = blockmax_topk(jnp.asarray(queries), jnp.asarray(corpus), N,
+                              k=k, block_size=128, slab_size=512)
+    scores = queries @ corpus.T
+    assert set(np.asarray(idx)[0]) == set(np.argsort(-scores[0])[:k])
+
+
+def test_blockmax_topk_valid_count_masking():
+    rng = np.random.default_rng(9)
+    Q, N, D, k = 4, 512, 8, 10
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    corpus = rng.normal(size=(N, D)).astype(np.float32)
+    corpus[400:] = 100.0  # huge scores in the padded region — must be masked
+    vals, idx = blockmax_topk(jnp.asarray(queries), jnp.asarray(corpus), 400, k=k)
+    assert (np.asarray(idx) < 400).all()
+    scores = queries @ corpus[:400].T
+    for qi in range(Q):
+        assert set(np.asarray(idx)[qi]) == set(np.argsort(-scores[qi])[:k])
 
 
 def test_chunked_topk_k_larger_than_chunk():
