@@ -37,24 +37,48 @@ from .tokenization.specb import SpecbCodec, pick_bucket
 logger = logging.getLogger(__name__)
 
 
+_ACTIVATIONS = {
+    "identity": lambda x: x,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=True),
+    "tanh": jnp.tanh,
+}
+
+
+def _apply_heads(x, head_params, activations):
+    """Linear heads (models/Dense.py:23-50 equivalent): x @ w [+ b] → act."""
+    for p, act in zip(head_params, activations):
+        x = x @ p["w"].astype(x.dtype)
+        if "b" in p:
+            x = x + p["b"].astype(x.dtype)
+        x = _ACTIVATIONS[act](x)
+    return x
+
+
 @partial(jax.jit, static_argnames=("cfg", "method", "layeridx", "do_normalize",
-                                   "has_learned_weights"))
-def _embed_step(params, input_ids, mask, learned_weights, cfg: DecoderConfig,
-                method: str, layeridx: int, do_normalize: bool,
-                has_learned_weights: bool):
-    """One fused forward+pool step. All shapes static."""
+                                   "has_learned_weights", "pre_acts", "post_acts"))
+def _embed_step(params, heads, input_ids, mask, learned_weights,
+                cfg: DecoderConfig, method: str, layeridx: int,
+                do_normalize: bool, has_learned_weights: bool,
+                pre_acts: tuple = (), post_acts: tuple = ()):
+    """One fused forward+(heads)+pool step. All shapes static.
+
+    heads = {"pre": [{w[,b]}...], "post": [...]} — linear layers applied to
+    token embeddings before pooling (--linearthenpool) or to the sentence
+    embedding after (training_nli_v2.py:105-117)."""
     needs_stack = (method in STACK_POOLERS) or (layeridx not in (-1, cfg.num_layers))
     if needs_stack:
         stack = forward(params, input_ids, mask, cfg, output_hidden_states=True)
         if method in STACK_POOLERS:
             emb = STACK_POOLERS[method](stack, mask)
         else:
-            hidden = stack[layeridx]
+            hidden = _apply_heads(stack[layeridx], heads.get("pre", ()), pre_acts)
             emb = _pool_single(hidden, mask, method, learned_weights,
                                has_learned_weights)
     else:
         hidden = forward(params, input_ids, mask, cfg)
+        hidden = _apply_heads(hidden, heads.get("pre", ()), pre_acts)
         emb = _pool_single(hidden, mask, method, learned_weights, has_learned_weights)
+    emb = _apply_heads(emb, heads.get("post", ()), post_acts)
     if do_normalize:
         emb = normalize(emb)
     return emb
@@ -82,6 +106,7 @@ class EmbeddingEngine:
         batch_size: int = 32,
         normalize_embeddings: bool = False,
         learned_weights: Optional[jax.Array] = None,
+        dense_heads: Optional[list] = None,
         cache_dir: Optional[str] = None,
     ):
         self.params = params
@@ -95,6 +120,22 @@ class EmbeddingEngine:
                                 else jnp.zeros((0,), jnp.float32))
         self.has_learned_weights = learned_weights is not None
         self.cache_dir = cache_dir
+        # dense_heads: list of dicts {"w", ["b"], "activation", "location"}
+        self.heads = {"pre": [], "post": []}
+        self.pre_acts, self.post_acts = [], []
+        self.out_dim = cfg.hidden_size
+        for h in dense_heads or []:
+            loc = h.get("location", "post_pool")
+            entry = {"w": jnp.asarray(h["w"])}
+            if h.get("b") is not None:
+                entry["b"] = jnp.asarray(h["b"])
+            if loc == "pre_pool":
+                self.heads["pre"].append(entry)
+                self.pre_acts.append(h.get("activation", "identity"))
+            else:
+                self.heads["post"].append(entry)
+                self.post_acts.append(h.get("activation", "identity"))
+            self.out_dim = entry["w"].shape[1]
         max_seq_len = max_seq_len or cfg.max_position_embeddings
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=specb)
 
@@ -103,7 +144,7 @@ class EmbeddingEngine:
                show_progress: bool = False) -> np.ndarray:
         """Embed a list of texts → (N, D) numpy array (original order)."""
         if len(texts) == 0:
-            return np.zeros((0, self.cfg.hidden_size), np.float32)
+            return np.zeros((0, self.out_dim), np.float32)
 
         cached = self._cache_load(texts, is_query)
         if cached is not None:
@@ -111,7 +152,7 @@ class EmbeddingEngine:
 
         # Length-sorted batching (longest first) to minimize padding waste.
         order = np.argsort([-len(t) for t in texts], kind="stable")
-        out = np.zeros((len(texts), self.cfg.hidden_size), np.float32)
+        out = np.zeros((len(texts), self.out_dim), np.float32)
         B = self.batch_size
         for s in range(0, len(order), B):
             sel = order[s : s + B]
@@ -125,10 +166,11 @@ class EmbeddingEngine:
             if enc.n_truncated:
                 logger.warning("Truncated %d/%d docs by %d tokens",
                                enc.n_truncated, len(batch), enc.tokens_truncated)
-            emb = _embed_step(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                              self.learned_weights, self.cfg, self.method,
-                              self.layeridx, self.normalize,
-                              self.has_learned_weights)
+            emb = _embed_step(self.params, self.heads, jnp.asarray(ids),
+                              jnp.asarray(mask), self.learned_weights, self.cfg,
+                              self.method, self.layeridx, self.normalize,
+                              self.has_learned_weights,
+                              tuple(self.pre_acts), tuple(self.post_acts))
             out[sel] = np.asarray(emb[: len(batch)], np.float32)
         self._cache_store(texts, is_query, out)
         return out
