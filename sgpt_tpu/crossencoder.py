@@ -134,6 +134,35 @@ class CrossEncoderRanker:
         return self.score_pairs(requests)
 
 
+PROMPT_YESNO = ('An intelligent, helpful bot is given. The bot responds "Yes" '
+                'if the document is a fit to the query and "No" otherwise.\n###\n'
+                'Document: {}\nQuery: {}\nBot:')
+
+
+class YesNoRanker(CrossEncoderRanker):
+    """Yes/No classifier variant (the reference's GPTYesRanker, prompt "L"
+    ablation — crossencoder_beir_sgpt.ipynb): score = log P("Yes" | doc, query)
+    with the softmax restricted to the {Yes, No} vocabulary."""
+
+    def __init__(self, params, cfg, tokenizer, *, prompt_doc: str = PROMPT_YESNO,
+                 continuation: str = " Yes",
+                 sub_select_voc: Sequence[str] = (" Yes", " No"), **kw):
+        vocab_ids: List[int] = []
+        for word in sub_select_voc:
+            vocab_ids.extend(tokenizer.encode(word))
+        kw.setdefault("vocab_subset", vocab_ids)
+        super().__init__(params, cfg, tokenizer, prompt_doc=prompt_doc, **kw)
+        self.continuation = continuation
+
+    def predict(self, sentences: Sequence[Tuple[str, str]],
+                batch_size: Optional[int] = None, **kw) -> List[float]:
+        requests = []
+        for query, doc in sentences:
+            ctx = self.fewshot_prefix + self.prompt_doc.format(doc, query)
+            requests.append((self.continuation, ctx))
+        return self.score_pairs(requests)
+
+
 def rerank(ranker: CrossEncoderRanker, corpus: Dict[str, Dict[str, str]],
            queries: Dict[str, str], first_stage: Dict[str, Dict[str, float]],
            top_k: int = 100) -> Dict[str, Dict[str, float]]:

@@ -108,6 +108,7 @@ class EmbeddingEngine:
         learned_weights: Optional[jax.Array] = None,
         dense_heads: Optional[list] = None,
         cache_dir: Optional[str] = None,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -139,6 +140,19 @@ class EmbeddingEngine:
         max_seq_len = max_seq_len or cfg.max_position_embeddings
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=specb)
 
+        # Multi-device data-parallel encode: batches shard over the mesh's dp
+        # axis (replaces the reference's rank-sliced distributed encode +
+        # mismatched all-gather, SentenceTransformer.py:153-175 — the gather is
+        # implicit under single-controller jit). Params may additionally be
+        # TP-sharded via parallel.shard_params before construction.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._data_sharding = NamedSharding(mesh, P("dp", None))
+            dp = mesh.shape["dp"]
+            if self.batch_size % dp:
+                self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
+
     # ------------------------------------------------------------------
     def encode(self, texts: Sequence[str], *, is_query: bool = False,
                show_progress: bool = False) -> np.ndarray:
@@ -166,8 +180,12 @@ class EmbeddingEngine:
             if enc.n_truncated:
                 logger.warning("Truncated %d/%d docs by %d tokens",
                                enc.n_truncated, len(batch), enc.tokens_truncated)
-            emb = _embed_step(self.params, self.heads, jnp.asarray(ids),
-                              jnp.asarray(mask), self.learned_weights, self.cfg,
+            ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+            if self.mesh is not None:
+                ids_j = jax.device_put(ids_j, self._data_sharding)
+                mask_j = jax.device_put(mask_j, self._data_sharding)
+            emb = _embed_step(self.params, self.heads, ids_j, mask_j,
+                              self.learned_weights, self.cfg,
                               self.method, self.layeridx, self.normalize,
                               self.has_learned_weights,
                               tuple(self.pre_acts), tuple(self.post_acts))

@@ -37,7 +37,10 @@ def continuation_scores(params, input_ids, attention_mask, targets, target_mask,
     logp = jax.nn.log_softmax(lg, axis=-1)
     tok_lp = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
                                  axis=-1)[..., 0]
-    return jnp.sum(tok_lp * target_mask.astype(jnp.float32), axis=1)
+    # where() not multiply: with vocab masking, off-target positions can be
+    # -inf and -inf * 0 would poison the sum with NaN
+    tok_lp = jnp.where(target_mask.astype(bool), tok_lp, 0.0)
+    return jnp.sum(tok_lp, axis=1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -51,3 +51,19 @@ def test_sharded_forward_matches_single_device():
     leaf = sharded["layers"]["attn"]["wq"]
     shard_shapes = {s.data.shape for s in leaf.addressable_shards}
     assert all(s[-1] == leaf.shape[-1] // 4 for s in shard_shapes)
+
+
+def test_engine_dp_sharded_encode_matches_single():
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    texts = [f"document number {i} some words" for i in range(10)]
+
+    single = EmbeddingEngine(params, cfg, tok, batch_size=8).encode(texts)
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = EmbeddingEngine(shard_params(params, mesh), cfg, tok,
+                              batch_size=8, mesh=mesh).encode(texts)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
