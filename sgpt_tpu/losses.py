@@ -65,3 +65,82 @@ def mnrl_loss_dp(anchors: jax.Array, positives: jax.Array,
     scores = sim(anchors, candidates) * scale
     labels = jnp.arange(n_local) + n_local * rank
     return jax.lax.pmean(_cross_entropy(scores, labels), axis_name)
+
+
+# ---------------------------------------------------------------------------
+# The remaining ST-fork loss surface (sentence_transformers/losses/ — upstream
+# losses the reference library exposes alongside MNRL; SURVEY.md §2b).
+# All are pure functions over embedding arrays; pair them with any encoder.
+# ---------------------------------------------------------------------------
+
+def _euclidean(a, b):
+    return jnp.sqrt(jnp.clip(jnp.sum(jnp.square(a - b), axis=-1), 1e-12))
+
+
+def _cosine_distance(a, b):
+    from .ops.similarity import _norm
+    return 1.0 - jnp.sum(_norm(a) * _norm(b), axis=-1)
+
+
+def softmax_loss(u: jax.Array, v: jax.Array, classifier_w: jax.Array,
+                 labels: jax.Array, classifier_b: Optional[jax.Array] = None
+                 ) -> jax.Array:
+    """SoftmaxLoss (NLI classification head): logits = [u; v; |u-v|] @ W."""
+    feats = jnp.concatenate([u, v, jnp.abs(u - v)], axis=-1)
+    logits = feats @ classifier_w
+    if classifier_b is not None:
+        logits = logits + classifier_b
+    return _cross_entropy(logits, labels)
+
+
+def triplet_loss(anchors, positives, negatives, *, margin: float = 5.0,
+                 distance: str = "euclidean") -> jax.Array:
+    dist = _euclidean if distance == "euclidean" else _cosine_distance
+    return jnp.mean(jnp.maximum(
+        dist(anchors, positives) - dist(anchors, negatives) + margin, 0.0))
+
+
+def contrastive_loss(u, v, labels, *, margin: float = 0.5,
+                     distance: str = "cosine") -> jax.Array:
+    """0.5 * (y * d^2 + (1-y) * relu(margin - d)^2)."""
+    dist = _cosine_distance if distance == "cosine" else _euclidean
+    d = dist(u, v)
+    y = labels.astype(jnp.float32)
+    return jnp.mean(0.5 * (y * jnp.square(d) +
+                           (1 - y) * jnp.square(jnp.maximum(margin - d, 0.0))))
+
+
+def online_contrastive_loss(u, v, labels, *, margin: float = 0.5,
+                            distance: str = "cosine") -> jax.Array:
+    """ContrastiveLoss over hard pairs only: positives farther than the closest
+    negative, negatives closer than the farthest positive."""
+    dist = _cosine_distance if distance == "cosine" else _euclidean
+    d = dist(u, v)
+    y = labels.astype(bool)
+    NEG_BIG = jnp.float32(1e9)
+    neg_min = jnp.min(jnp.where(~y, d, NEG_BIG))
+    pos_max = jnp.max(jnp.where(y, d, -NEG_BIG))
+    hard_pos = jnp.logical_and(y, d > neg_min)
+    hard_neg = jnp.logical_and(~y, d < pos_max)
+    pos_term = jnp.where(hard_pos, jnp.square(d), 0.0)
+    neg_term = jnp.where(hard_neg, jnp.square(jnp.maximum(margin - d, 0.0)), 0.0)
+    n = jnp.clip(jnp.sum(hard_pos) + jnp.sum(hard_neg), 1)
+    return (jnp.sum(pos_term) + jnp.sum(neg_term)) / n
+
+
+def margin_mse_loss(queries, positives, negatives, gold_margins) -> jax.Array:
+    """MarginMSE (distillation): MSE between dot-score margins and teacher margins."""
+    pred = (jnp.sum(queries * positives, axis=-1)
+            - jnp.sum(queries * negatives, axis=-1))
+    return jnp.mean(jnp.square(pred - gold_margins))
+
+
+def mse_loss(student: jax.Array, teacher: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(student - teacher))
+
+
+def cosine_similarity_loss(u, v, labels) -> jax.Array:
+    """MSE between cosine similarity and gold score (STS regression training)."""
+    from .ops.similarity import _norm
+    pred = jnp.sum(_norm(u) * _norm(v), axis=-1)
+    return jnp.mean(jnp.square(pred - labels.astype(jnp.float32)))

@@ -1,0 +1,111 @@
+"""Upstream-surface losses and evaluators."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgpt_tpu.losses import (softmax_loss, triplet_loss, contrastive_loss,
+                             online_contrastive_loss, margin_mse_loss, mse_loss,
+                             cosine_similarity_loss)
+from sgpt_tpu.evaluation.extra import (TripletEvaluator,
+                                       BinaryClassificationEvaluator,
+                                       RerankingEvaluator, MSEEvaluator,
+                                       TranslationEvaluator, SequentialEvaluator)
+
+rng = np.random.default_rng(0)
+U = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+V = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+
+
+def test_softmax_loss_shapes_and_perfect():
+    w = jnp.zeros((18, 3), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 0, 1, 2, 0, 1])
+    loss = softmax_loss(U, V, w, labels)
+    np.testing.assert_allclose(float(loss), np.log(3), rtol=1e-5)  # uniform
+
+
+def test_triplet_loss_zero_when_separated():
+    a = jnp.zeros((4, 3))
+    p = jnp.zeros((4, 3))          # d(a,p)=0
+    n = jnp.ones((4, 3)) * 100     # d(a,n)=large
+    assert float(triplet_loss(a, p, n, margin=5.0)) == 0.0
+    assert float(triplet_loss(a, n, p, margin=5.0)) > 0.0
+
+
+def test_contrastive_loss_directions():
+    y1 = jnp.ones((8,))
+    y0 = jnp.zeros((8,))
+    same = contrastive_loss(U, U, y1)      # identical positives → 0
+    assert float(same) < 1e-6
+    diff = contrastive_loss(U, V, y1)
+    assert float(diff) > float(same)
+    # negatives at distance 0 are maximally penalized
+    neg_close = contrastive_loss(U, U, y0)
+    assert float(neg_close) > 0
+
+
+def test_online_contrastive_selects_hard_pairs():
+    y = jnp.asarray([1, 1, 0, 0])
+    u = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    loss = online_contrastive_loss(u, u * 1.0, y)
+    assert np.isfinite(float(loss))
+
+
+def test_margin_mse_and_mse():
+    q = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    n = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    gold = jnp.sum(q * p, -1) - jnp.sum(q * n, -1)
+    assert float(margin_mse_loss(q, p, n, gold)) < 1e-10
+    assert float(mse_loss(q, q)) == 0.0
+
+
+def test_cosine_similarity_loss():
+    labels = jnp.ones((8,))
+    assert float(cosine_similarity_loss(U, U, labels)) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+
+VOCAB = {}
+
+
+def toy_encode(texts):
+    out = np.zeros((len(texts), 8), np.float32)
+    for i, t in enumerate(texts):
+        idx = VOCAB.setdefault(t, len(VOCAB) % 8)
+        out[i, idx] = 1.0
+        out[i, 7] += 0.05
+    return out
+
+
+def test_triplet_evaluator():
+    ev = TripletEvaluator(["a", "b"], ["a", "b"], ["x", "y"])
+    assert ev(toy_encode) == 1.0
+
+
+def test_binary_classification_evaluator():
+    s1 = ["p1", "p2", "n1", "n2"]
+    s2 = ["p1", "p2", "q1", "q2"]   # first two identical pairs
+    labels = [1, 1, 0, 0]
+    res = BinaryClassificationEvaluator(s1, s2, labels).compute(toy_encode)
+    assert res["ap"] == 1.0 and res["accuracy"] == 1.0 and res["f1"] == 1.0
+
+
+def test_reranking_evaluator():
+    samples = [{"query": "q", "positive": ["q"], "negative": ["z1", "z2"]}]
+    res = RerankingEvaluator(samples).compute(toy_encode)
+    assert res["mrr"] == 1.0 and res["map"] == 1.0
+
+
+def test_mse_translation_sequential():
+    sents = ["s1", "s2"]
+    teacher = toy_encode(sents)
+    assert MSEEvaluator(sents, teacher)(toy_encode) == 0.0
+
+    ev = TranslationEvaluator(["a", "b"], ["a", "b"])
+    assert ev(toy_encode) == 1.0
+
+    seq = SequentialEvaluator([lambda f: 0.5, lambda f: 0.9])
+    assert seq(toy_encode) == 0.9
