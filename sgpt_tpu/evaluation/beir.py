@@ -66,6 +66,10 @@ class EvaluateRetrieval:
 
     @staticmethod
     def evaluate(qrels, results, k_values=(1, 3, 5, 10, 100, 1000)):
+        # C++ engine when built (native/trec_eval.cpp); python math otherwise
+        from .native import available, evaluate_retrieval_native
+        if available():
+            return evaluate_retrieval_native(qrels, results, k_values)
         return evaluate_retrieval(qrels, results, k_values)
 
     @staticmethod
