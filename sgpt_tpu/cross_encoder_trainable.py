@@ -1,0 +1,174 @@
+"""Trainable cross-encoder (classification/regression head over a pair encoding).
+
+Parity target: the ST fork's `cross_encoder/CrossEncoder.py` (~500 LoC upstream
+surface, SURVEY.md §2b) — a transformer scoring concatenated (sentence1,
+sentence2) pairs through a classification head, trained with cross-entropy
+(num_labels > 1) or MSE/logistic regression (num_labels == 1). The SGPT paper's
+CE is zero-shot (crossencoder.py); this class covers the *trainable* API so ST
+users migrating find the full surface.
+
+TPU-first shape: pairs tokenize as [s1; EOS; s2], pooled by last-token, one
+jit'd train step, optax AdamW + warmup-linear.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.config import DecoderConfig
+from .models.decoder import forward
+from .ops.pooling import last_token_pool
+from .tokenization.base import Tokenizer
+from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket
+from .training.schedules import make_schedule
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pair_logits(params, head_w, head_b, ids, mask, cfg: DecoderConfig):
+    h = forward(params, ids, mask, cfg)
+    rep = last_token_pool(h, mask)
+    return rep.astype(jnp.float32) @ head_w + head_b
+
+
+class CrossEncoderTrainable:
+    def __init__(self, params, cfg: DecoderConfig, tokenizer: Tokenizer, *,
+                 num_labels: int = 1, max_length: Optional[int] = None,
+                 batch_size: int = 16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.num_labels = num_labels
+        self.max_length = max_length or cfg.max_position_embeddings
+        self.batch_size = batch_size
+        key = jax.random.key(seed)
+        self.head_w = (0.02 * jax.random.normal(
+            key, (cfg.hidden_size, num_labels))).astype(jnp.float32)
+        self.head_b = jnp.zeros((num_labels,), jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _tokenize_pairs(self, pairs: Sequence[Tuple[str, str]], pad_to=None):
+        rows = []
+        for s1, s2 in pairs:
+            ids = (self.tokenizer.encode(s1) + [self.tokenizer.eos_id]
+                   + self.tokenizer.encode(s2))
+            rows.append(ids[-self.max_length:])
+        maxlen = max(len(r) for r in rows)
+        T = pad_to or max(pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length),
+                          maxlen)
+        B = len(rows)
+        ids = np.full((B, T), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((B, T), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def predict(self, pairs: Sequence[Tuple[str, str]],
+                apply_softmax: bool = False, **kw) -> np.ndarray:
+        """num_labels==1 → sigmoid scores (ST convention); else logits/probs."""
+        out = []
+        B = self.batch_size
+        for s in range(0, len(pairs), B):
+            chunk = list(pairs[s : s + B])
+            pad = B - len(chunk)
+            chunk_padded = chunk + [("", "")] * pad
+            ids, mask = self._tokenize_pairs(chunk_padded)
+            logits = _pair_logits(self.params, self.head_w, self.head_b,
+                                  ids, mask, self.cfg)
+            logits = np.asarray(logits[: len(chunk)], np.float64)
+            out.append(logits)
+        logits = np.concatenate(out, axis=0)
+        if self.num_labels == 1:
+            return 1.0 / (1.0 + np.exp(-logits[:, 0]))
+        if apply_softmax:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+        return logits
+
+    # ------------------------------------------------------------------
+    def fit(self, train_samples: Sequence, *, epochs: int = 1, lr: float = 2e-5,
+            warmup_ratio: float = 0.1, evaluator: Optional[Callable] = None,
+            shuffle_seed: int = 0) -> List[dict]:
+        """train_samples: InputExample-likes with .texts=(s1, s2) and .label."""
+        tc_steps = max(1, len(train_samples) // self.batch_size) * epochs
+        schedule = make_schedule("warmuplinear", lr,
+                                 int(warmup_ratio * tc_steps), tc_steps)
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(schedule))
+        trainable = {"params": self.params, "w": self.head_w, "b": self.head_b}
+        opt_state = opt.init(trainable)
+        num_labels, cfg = self.num_labels, self.cfg
+
+        def loss_fn(tree, ids, mask, labels):
+            logits = _pair_logits(tree["params"], tree["w"], tree["b"],
+                                  ids, mask, cfg)
+            if num_labels == 1:
+                return jnp.mean(optax.sigmoid_binary_cross_entropy(
+                    logits[:, 0], labels.astype(jnp.float32)))
+            return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels.astype(jnp.int32)))
+
+        @jax.jit
+        def step(tree, opt_state, ids, mask, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(tree, ids, mask, labels)
+            updates, opt_state = opt.update(grads, opt_state, tree)
+            return optax.apply_updates(tree, updates), opt_state, loss
+
+        rng = np.random.default_rng(shuffle_seed)
+        history = []
+        samples = list(train_samples)
+        B = self.batch_size
+        for epoch in range(epochs):
+            rng.shuffle(samples)
+            for s in range(0, len(samples) - B + 1, B):
+                batch = samples[s : s + B]
+                ids, mask = self._tokenize_pairs(
+                    [tuple(ex.texts[:2]) for ex in batch],
+                    pad_to=self.max_length)
+                labels = jnp.asarray([ex.label for ex in batch])
+                trainable, opt_state, loss = step(trainable, opt_state,
+                                                  ids, mask, labels)
+                history.append({"epoch": epoch, "loss": float(loss)})
+            self.params, self.head_w, self.head_b = (
+                trainable["params"], trainable["w"], trainable["b"])
+            if evaluator:
+                score = float(evaluator(self))
+                history.append({"epoch": epoch, "eval_score": score})
+                logger.info("epoch %d eval %.4f", epoch, score)
+        return history
+
+
+class CECorrelationEvaluator:
+    """Spearman between predicted pair scores and gold (ST CECorrelationEvaluator)."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], scores: Sequence[float]):
+        self.pairs, self.gold = list(pairs), list(scores)
+
+    def __call__(self, model: CrossEncoderTrainable) -> float:
+        from .evaluation.metrics import spearman
+        pred = model.predict(self.pairs)
+        pred = pred if pred.ndim == 1 else pred[:, -1]
+        return spearman(pred.tolist(), self.gold)
+
+
+class CEBinaryClassificationEvaluator:
+    """Best-threshold accuracy over predicted scores (ST CEBinaryAccuracyEvaluator)."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], labels: Sequence[int]):
+        self.pairs, self.labels = list(pairs), np.asarray(labels, int)
+
+    def __call__(self, model: CrossEncoderTrainable) -> float:
+        pred = model.predict(self.pairs)
+        pred = pred if pred.ndim == 1 else pred[:, -1]
+        best = 0.0
+        for t in np.unique(pred):
+            best = max(best, float(np.mean((pred >= t).astype(int) == self.labels)))
+        return best

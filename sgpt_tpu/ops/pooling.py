@@ -83,6 +83,19 @@ def last_token_mean_pool(all_hidden: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.mean(g.astype(jnp.float32), axis=0).astype(all_hidden.dtype)
 
 
+def weighted_layer_pool(all_hidden: jax.Array, mask: jax.Array,
+                        layer_weights: jax.Array,
+                        layer_start: int = 0) -> jax.Array:
+    """Learnt softmax-free weighted average over LAYERS, then masked token mean
+    (ST models/WeightedLayerPooling: per-layer scalar weights over the hidden-
+    state stack). all_hidden: (L, B, T, D); layer_weights: (L - layer_start,)."""
+    stack = all_hidden[layer_start:].astype(jnp.float32)
+    w = layer_weights.astype(jnp.float32)
+    w = w / jnp.clip(jnp.sum(w), 1e-9)
+    mixed = jnp.einsum("l,lbtd->btd", w, stack)
+    return mean_pool(mixed, mask).astype(all_hidden.dtype)
+
+
 def max_pool(hidden: jax.Array, mask: jax.Array) -> jax.Array:
     """Masked max over tokens (ST Pooling 'max' mode)."""
     neg = jnp.asarray(-1e9, hidden.dtype)

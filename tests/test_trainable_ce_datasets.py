@@ -1,0 +1,126 @@
+"""Trainable cross-encoder + remaining dataset/reader/pooling surface."""
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgpt_tpu.cross_encoder_trainable import (CrossEncoderTrainable,
+                                              CECorrelationEvaluator,
+                                              CEBinaryClassificationEvaluator)
+from sgpt_tpu.data import InputExample
+from sgpt_tpu.data.datasets import (SentenceLabelBatcher, ParallelSentencesData,
+                                    denoise_text)
+from sgpt_tpu.data.readers import STSDataReader, NLIDataReader, TripletReader
+from sgpt_tpu.models import tiny, init_params
+from sgpt_tpu.ops.pooling import weighted_layer_pool, mean_pool
+from sgpt_tpu.tokenization import SimpleTokenizer
+
+VOCAB = 512
+
+
+@pytest.fixture(scope="module")
+def ce():
+    cfg = tiny("neo", num_layers=2, hidden_size=32, num_heads=2, vocab_size=VOCAB)
+    params = init_params(cfg, jax.random.key(0))
+    return CrossEncoderTrainable(params, cfg, SimpleTokenizer(vocab_size=VOCAB),
+                                 batch_size=4, max_length=32)
+
+
+def test_ce_predict_shapes(ce):
+    pairs = [("query one", "doc one"), ("query two", "doc two")]
+    scores = ce.predict(pairs)
+    assert scores.shape == (2,)
+    assert ((scores >= 0) & (scores <= 1)).all()  # sigmoid
+
+
+def test_ce_training_reduces_loss(ce):
+    # learnable toy task: pairs sharing a token are positive
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(32):
+        w = f"tok{i % 6}"
+        samples.append(InputExample(texts=(f"{w} left", f"{w} right"), label=1.0))
+        samples.append(InputExample(texts=(f"{w} left", f"other{i} right"), label=0.0))
+    hist = ce.fit(samples, epochs=3, lr=1e-3)
+    losses = [h["loss"] for h in hist if "loss" in h]
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_ce_evaluators(ce):
+    pairs = [("a", "a"), ("b", "c")]
+    corr = CECorrelationEvaluator(pairs, [1.0, 0.0])
+    assert -1.0 <= corr(ce) <= 1.0
+    binary = CEBinaryClassificationEvaluator(pairs, [1, 0])
+    assert 0.0 <= binary(ce) <= 1.0
+
+
+def test_sentence_label_batcher():
+    examples = [InputExample(texts=(f"s{i}",), label=i % 5) for i in range(40)]
+    batcher = SentenceLabelBatcher(examples, batch_size=8, samples_per_label=2)
+    for batch in batcher:
+        labels = [ex.label for ex in batch]
+        for l in set(labels):
+            assert labels.count(l) == 2
+
+
+def test_parallel_sentences_data():
+    teacher_calls = []
+
+    def teacher(texts):
+        teacher_calls.append(texts)
+        return np.ones((len(texts), 4), np.float32)
+
+    ds = ParallelSentencesData(teacher, batch_size=2)
+    ds.add_dataset([["en one", "de eins"], ["en two", "de zwei"],
+                    ["en three", "de drei"]])
+    batches = list(ds.batches())
+    assert len(batches) == 1
+    texts, emb = batches[0]
+    assert texts == ["de eins", "de zwei"]
+    assert emb.shape == (2, 4)
+    assert teacher_calls[0] == ["en one", "en two"]
+
+
+def test_denoise_text():
+    rng = random.Random(0)
+    out = denoise_text("a b c d e f g h", del_ratio=0.5, rng=rng)
+    assert 1 <= len(out.split()) <= 8
+    assert all(w in "a b c d e f g h".split() for w in out.split())
+    assert denoise_text("", 0.5) == ""
+
+
+def test_readers(tmp_path):
+    with open(tmp_path / "sts.tsv", "w") as f:
+        f.write("split\tsentence1\tsentence2\tscore\n")
+        f.write("train\ts one\ts two\t2.5\n")
+        f.write("dev\ts three\ts four\t5.0\n")
+    sts = STSDataReader(str(tmp_path))
+    ex = sts.get_examples("sts.tsv")
+    assert len(ex) == 2 and ex[0].label == 0.5
+    assert len(sts.get_examples("sts.tsv", split="dev")) == 1
+
+    with open(tmp_path / "nli.tsv", "w") as f:
+        f.write("sentence1\tsentence2\tlabel\n")
+        f.write("p\th\tentailment\n")
+        f.write("p\th2\tbogus\n")
+    nli = NLIDataReader(str(tmp_path)).get_examples("nli.tsv")
+    assert len(nli) == 1 and nli[0].label == 1
+
+    with open(tmp_path / "trip.tsv", "w") as f:
+        f.write("a\tp\tn\n")
+    trip = TripletReader(str(tmp_path)).get_examples("trip.tsv")
+    assert trip[0].texts == ("a", "p", "n")
+
+
+def test_weighted_layer_pool():
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(rng.normal(size=(3, 2, 5, 4)), jnp.float32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    # all weight on layer 2 == mean-pool of that layer
+    w = jnp.asarray([0.0, 0.0, 1.0])
+    got = weighted_layer_pool(stack, mask, w)
+    want = mean_pool(stack[2], mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
