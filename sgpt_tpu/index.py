@@ -1,0 +1,131 @@
+"""DenseIndex — the serving-side embed→index→query engine.
+
+The north-star serving shape (BASELINE.json): corpus embeddings live in device
+HBM sharded over the mesh's dp axis; a query batch broadcasts to all shards,
+each shard runs the exact block-max top-k scan over its slice
+(ops/topk.blockmax_topk), and the per-shard candidates merge over ICI via a
+tiled all_gather — the (Q, N) score matrix never exists anywhere.
+
+Single-device path is the same kernel without the shard_map wrapper.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.pooling import normalize
+from .ops.topk import blockmax_topk, merge_topk
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class DenseIndex:
+    """Exact MIPS index over (possibly mesh-sharded) corpus embeddings."""
+
+    def __init__(self, dim: int, *, normalize_embeddings: bool = True,
+                 mesh=None, block_size: int = 128, dtype=jnp.bfloat16):
+        self.dim = dim
+        self.normalize = normalize_embeddings
+        self.mesh = mesh
+        self.block_size = block_size
+        self.dtype = dtype
+        self._chunks: List[np.ndarray] = []
+        self._ids: List[str] = []
+        self._corpus = None       # device array after build()
+        self._count = 0
+        self._search_fn = None
+
+    # ------------------------------------------------------------------
+    def add(self, embeddings, ids: Optional[Sequence[str]] = None):
+        emb = np.asarray(embeddings, np.float32)
+        if self.normalize:
+            emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True),
+                                1e-12, None)
+        start = sum(c.shape[0] for c in self._chunks)
+        self._chunks.append(emb)
+        self._ids.extend(ids if ids is not None
+                         else (str(start + i) for i in range(emb.shape[0])))
+
+    def build(self):
+        """Pad to static shape and place on device(s)."""
+        emb = np.concatenate(self._chunks, axis=0) if self._chunks else \
+            np.zeros((0, self.dim), np.float32)
+        self._count = emb.shape[0]
+        n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
+        granularity = self.block_size * n_dev
+        n_pad = max(_round_up(self._count, granularity), granularity)
+        padded = np.zeros((n_pad, self.dim), np.float32)
+        padded[: self._count] = emb
+        arr = jnp.asarray(padded, self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P("dp", None)))
+        self._corpus = arr
+        self._chunks = []
+        self._search_fn = self._make_search_fn()
+        return self
+
+    # ------------------------------------------------------------------
+    def _make_search_fn(self):
+        block_size = self.block_size
+        if self.mesh is None:
+            def search(queries, k: int):
+                return blockmax_topk(queries, self._corpus, self._count, k=k,
+                                     block_size=block_size)
+            return search
+
+        mesh = self.mesh
+        n_dev = mesh.shape["dp"]
+        shard_n = self._corpus.shape[0] // n_dev
+        count = self._count
+        from jax.sharding import PartitionSpec as P
+
+        def shard_search(queries, corpus_shard, k: int):
+            """Runs per device: local exact top-k, then ICI-merge."""
+            rank = jax.lax.axis_index("dp")
+            base = rank * shard_n
+            local_valid = jnp.clip(count - base, 0, shard_n)
+            # one slab per shard: shard_map's varying-axis rules need the
+            # scan-free path in blockmax_topk
+            vals, idx = blockmax_topk(queries, corpus_shard, local_valid, k=k,
+                                      block_size=block_size, slab_size=shard_n)
+            idx = idx + base
+            # gather all shards' candidates: (n_dev*k) per query, then top-k.
+            all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(idx, "dp", axis=1, tiled=True)
+            top_vals, pos = jax.lax.top_k(all_vals, k)
+            return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def search(queries, k: int):
+            # check_vma off: outputs ARE replicated (same all_gather + top_k on
+            # every device) but the varying-axis checker can't infer that
+            fn = jax.shard_map(
+                partial(shard_search, k=k), mesh=mesh,
+                in_specs=(P(None, None), P("dp", None)),
+                out_specs=(P(), P()), check_vma=False)
+            return fn(queries, self._corpus)
+
+        return search
+
+    # ------------------------------------------------------------------
+    def search_embeddings(self, query_embeddings, k: int = 10
+                          ) -> Tuple[np.ndarray, List[List[str]]]:
+        """(scores (Q, k), doc-id lists). Queries normalized if the index is."""
+        q = jnp.asarray(np.asarray(query_embeddings, np.float32), self.dtype)
+        if self.normalize:
+            q = normalize(q)
+        k = min(k, max(self._count, 1))
+        vals, idx = self._search_fn(q, k)
+        vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
+        ids = [[self._ids[int(i)] for i in row] for row in idx]
+        return vals, ids
+
+    def __len__(self) -> int:
+        return self._count

@@ -99,12 +99,7 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
     kb = min(k, blocks_per_slab)
     slabs = corpus.reshape(n_slabs, slab_size, D)
 
-    init = (jnp.full((Q, k), NEG, jnp.float32), jnp.zeros((Q, k), jnp.int32))
-
-    def step(carry, inp):
-        run_vals, run_idx = carry
-        slab_i, slab = inp
-        base = slab_i * slab_size
+    def slab_topk(slab, base):
         scores = jnp.einsum("qd,cd->qc", queries, slab,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
@@ -121,9 +116,26 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
         # flat position → doc index within slab
         c_blk = jnp.take_along_axis(blk_idx, c_pos // block_size, axis=1)
         c_doc = base + c_blk * block_size + c_pos % block_size
-        run_vals, run_idx = merge_topk(run_vals, run_idx, c_vals,
-                                       c_doc.astype(jnp.int32), k)
-        return (run_vals, run_idx), None
+        return c_vals, c_doc.astype(jnp.int32)
+
+    if n_slabs == 1:
+        # no scan: also keeps this callable inside shard_map, whose varying-
+        # axis rules reject a replicated scan carry meeting shard-varying data
+        vals, idx = slab_topk(slabs[0], jnp.int32(0))
+        if vals.shape[1] < k:
+            pad_v = jnp.full((Q, k - vals.shape[1]), NEG, jnp.float32)
+            pad_i = jnp.zeros((Q, k - idx.shape[1]), jnp.int32)
+            vals = jnp.concatenate([vals, pad_v], axis=1)
+            idx = jnp.concatenate([idx, pad_i], axis=1)
+        return vals, idx
+
+    init = (jnp.full((Q, k), NEG, jnp.float32), jnp.zeros((Q, k), jnp.int32))
+
+    def step(carry, inp):
+        run_vals, run_idx = carry
+        slab_i, slab = inp
+        c_vals, c_doc = slab_topk(slab, slab_i * slab_size)
+        return merge_topk(run_vals, run_idx, c_vals, c_doc, k), None
 
     (vals, idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_slabs, dtype=jnp.int32), slabs))

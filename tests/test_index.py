@@ -1,0 +1,67 @@
+"""DenseIndex: single-device and dp-sharded search must both be exact."""
+import numpy as np
+import pytest
+
+import jax
+
+from sgpt_tpu.index import DenseIndex
+from sgpt_tpu.parallel import make_mesh
+
+
+def _data(n=1000, d=32, q=7, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    return corpus, queries
+
+
+def _brute_cosine(queries, corpus, k):
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    scores = qn @ cn.T
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+def test_single_device_exact():
+    corpus, queries = _data()
+    idx = DenseIndex(32, dtype=jax.numpy.float32)
+    idx.add(corpus[:400], ids=[f"a{i}" for i in range(400)])
+    idx.add(corpus[400:], ids=[f"b{i}" for i in range(600)])
+    idx.build()
+    assert len(idx) == 1000
+
+    vals, ids = idx.search_embeddings(queries, k=13)
+    want = _brute_cosine(queries, corpus, 13)
+    all_ids = [f"a{i}" for i in range(400)] + [f"b{i}" for i in range(600)]
+    for qi in range(len(queries)):
+        assert set(ids[qi]) == {all_ids[j] for j in want[qi]}
+        assert (np.diff(vals[qi]) <= 1e-6).all()  # sorted desc
+
+
+def test_sharded_matches_single():
+    corpus, queries = _data(n=777, d=16, q=5, seed=1)
+    single = DenseIndex(16, dtype=jax.numpy.float32)
+    single.add(corpus)
+    single.build()
+    v1, i1 = single.search_embeddings(queries, k=9)
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = DenseIndex(16, mesh=mesh, dtype=jax.numpy.float32)
+    sharded.add(corpus)
+    sharded.build()
+    v2, i2 = sharded.search_embeddings(queries, k=9)
+
+    np.testing.assert_allclose(v2, v1, atol=1e-5)
+    for a, b in zip(i1, i2):
+        assert set(a) == set(b)
+
+
+def test_dot_mode_no_normalize():
+    corpus, queries = _data(n=256, d=8, q=3, seed=2)
+    idx = DenseIndex(8, normalize_embeddings=False, dtype=jax.numpy.float32)
+    idx.add(corpus)
+    idx.build()
+    vals, ids = idx.search_embeddings(queries, k=5)
+    want = np.argsort(-(queries @ corpus.T), axis=1)[:, :5]
+    for qi in range(3):
+        assert set(map(int, ids[qi])) == set(want[qi].tolist())
