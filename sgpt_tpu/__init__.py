@@ -18,3 +18,24 @@ Public surface:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep `import sgpt_tpu` light)."""
+    lazy = {
+        "SGPTModel": ("sgpt_tpu.model", "SGPTModel"),
+        "AsymModel": ("sgpt_tpu.model", "AsymModel"),
+        "EmbeddingEngine": ("sgpt_tpu.encoder", "EmbeddingEngine"),
+        "DenseRetriever": ("sgpt_tpu.retrieval", "DenseRetriever"),
+        "DenseIndex": ("sgpt_tpu.index", "DenseIndex"),
+        "BM25Retriever": ("sgpt_tpu.retrieval_bm25", "BM25Retriever"),
+        "CrossEncoderRanker": ("sgpt_tpu.crossencoder", "CrossEncoderRanker"),
+        "YesNoRanker": ("sgpt_tpu.crossencoder", "YesNoRanker"),
+        "ContrastiveTrainer": ("sgpt_tpu.training", "ContrastiveTrainer"),
+        "TrainConfig": ("sgpt_tpu.training", "TrainConfig"),
+    }
+    if name in lazy:
+        import importlib
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'sgpt_tpu' has no attribute {name!r}")

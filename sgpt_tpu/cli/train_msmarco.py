@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--model_save_path", default="output/msmarco")
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    # final dev-set IR eval (train_bi-encoder_mnrl.py:520-527): expects
+    # dev-queries.tsv + dev-qrels.tsv (qid\tpid) in data_folder
+    p.add_argument("--eval_dev", action="store_true")
+    p.add_argument("--dev_corpus_sample", type=int, default=10000)
     return p.parse_args()
 
 
@@ -122,6 +126,37 @@ def main(args=None):
     out = trainer.fit(batches, steps_per_epoch=steps)
     trainer.save_model(args.model_save_path)
     logger.info("done; final loss %.4f", out["history"][-1].get("loss", -1))
+
+    if args.eval_dev:
+        import os
+        import random
+        from ..encoder import EmbeddingEngine
+        from ..evaluation.ir import InformationRetrievalEvaluator
+
+        dev_queries, dev_rel = {}, {}
+        with _open(os.path.join(args.data_folder, "dev-queries.tsv")) as f:
+            for line in f:
+                qid, text = line.rstrip("\n").split("\t", 1)
+                dev_queries[qid] = text
+        with _open(os.path.join(args.data_folder, "dev-qrels.tsv")) as f:
+            for line in f:
+                qid, pid = line.rstrip("\n").split("\t")[:2]
+                dev_rel.setdefault(qid, set()).add(pid)
+        needed = {p for s in dev_rel.values() for p in s}
+        pool_ids = list(needed)
+        rng = random.Random(args.seed)
+        extra = [p for p in corpus if p not in needed]
+        pool_ids += rng.sample(extra, min(args.dev_corpus_sample, len(extra)))
+        dev_corpus = {p: corpus[p] for p in pool_ids if p in corpus}
+
+        engine = EmbeddingEngine(out["params"], cfg, tokenizer,
+                                 method=args.pooling, specb=args.specb,
+                                 max_seq_len=args.max_seq_length)
+        ev = InformationRetrievalEvaluator(dev_queries, dev_corpus, dev_rel,
+                                           main_metric="mrr@10", name="ms-dev")
+        score = ev(lambda texts: engine.encode(texts, is_query=True),
+                   lambda texts: engine.encode(texts))
+        logger.info("MSMARCO dev MRR@10: %.4f", score)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ class TrainConfig:
     checkpoint_limit: int = 2
     output_dir: Optional[str] = None
     seed: int = 0
+    # optional metrics sink called with {'step', 'loss'|'eval_score', ...} —
+    # plug wandb.log here (the reference's optional wandb integration,
+    # SentenceTransformer.py:673-675,817-818)
+    log_fn: Optional[Callable[[dict], None]] = None
 
 
 class ContrastiveTrainer:
@@ -191,7 +195,10 @@ class ContrastiveTrainer:
                 gstep += 1
                 if gstep % max(1, steps_per_epoch // 10) == 0:
                     logger.info("epoch %d step %d loss %.4f", epoch, gstep, float(loss))
-                history.append({"step": gstep, "loss": float(loss)})
+                record = {"step": gstep, "loss": float(loss)}
+                history.append(record)
+                if tc.log_fn:
+                    tc.log_fn(record)
                 if evaluator and tc.eval_steps and gstep % tc.eval_steps == 0:
                     self._evaluate(evaluator, gstep, history)
                 if tc.checkpoint_steps and gstep % tc.checkpoint_steps == 0:
@@ -205,7 +212,10 @@ class ContrastiveTrainer:
 
     def _evaluate(self, evaluator, step, history):
         score = float(evaluator(self.params))
-        history.append({"step": step, "eval_score": score})
+        record = {"step": step, "eval_score": score}
+        history.append(record)
+        if self.tc.log_fn:
+            self.tc.log_fn(record)
         logger.info("eval @%d: %.4f", step, score)
         if score > self.best_score:  # best-model save (ST fit :861-876)
             self.best_score = score
