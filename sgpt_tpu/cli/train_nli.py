@@ -24,6 +24,16 @@ def parse_args():
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--pooling", default="weightedmean")
+    p.add_argument("--learntmean", action="store_true",
+                   help="trainable per-position pooling weights (ref :100-101)")
+    p.add_argument("--addxlinear", type=int, default=0,
+                   help="number of trainable linear heads (ref :46,:105-117)")
+    p.add_argument("--linearthenpool", action="store_true",
+                   help="apply linear heads before pooling (ref :48)")
+    p.add_argument("--useact", action="store_true",
+                   help="GELU activation on linear heads (ref :49)")
+    p.add_argument("--outfeats", type=int, default=0,
+                   help="output dim of the (single) linear head (ref :47)")
     p.add_argument("--freezenonbias", action="store_true")
     p.add_argument("--unfreezewte", action="store_true")
     p.add_argument("--gradcache", action="store_true")
@@ -51,12 +61,27 @@ def main(args=None):
     logger.info("Built %d NLI triplets", len(triplets))
     batcher = NoDuplicatesBatcher(triplets, args.train_batch_size, seed=args.seed)
 
+    dense_heads = None
+    if args.addxlinear:
+        if args.outfeats and args.addxlinear != 1:
+            raise ValueError("--outfeats needs exactly one linear layer (ref :96)")
+        dim = cfg.hidden_size
+        out_dim = args.outfeats or dim
+        dense_heads = [
+            {"in_features": dim, "out_features": out_dim,
+             "bias": not args.freezenonbias,  # ref :107: no extra bias w/ BitFit
+             "activation": "gelu" if args.useact else "identity",
+             "location": "pre_pool" if args.linearthenpool else "post_pool"}
+            for _ in range(args.addxlinear)]
+
     tc = TrainConfig(
         lr=args.lr, epochs=args.num_epochs, batch_size=args.train_batch_size,
-        max_seq_len=args.max_seq_length, pooling=args.pooling,
+        max_seq_len=args.max_seq_length,
+        pooling="learned_weightedmean" if args.learntmean else args.pooling,
         freeze_nonbias=args.freezenonbias, train_wte=args.unfreezewte,
         use_gradcache=args.gradcache, chunk_size=args.chunksize,
         output_dir=args.model_save_path, seed=args.seed,
+        dense_heads=dense_heads,
         eval_steps=max(1, len(batcher) // 10),  # eval every 10% (ref :188-202)
     )
     trainer = ContrastiveTrainer(params, cfg, tokenizer, tc)
@@ -75,9 +100,10 @@ def main(args=None):
         sts = EmbeddingSimilarityEvaluator(s1, s2, gold, name="sts-dev")
 
         def evaluator(params):
-            eng = EmbeddingEngine(params, cfg, tokenizer, method=args.pooling,
-                                  max_seq_len=args.max_seq_length)
-            return sts(eng.encode)
+            # trainer.export_model() packages aux (learnt weights, dense heads)
+            model = trainer.export_model()
+            model.params = params
+            return sts(model.encode)
 
     def batches():
         for batch in batcher:

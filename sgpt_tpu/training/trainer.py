@@ -67,6 +67,10 @@ class TrainConfig:
     checkpoint_limit: int = 2
     output_dir: Optional[str] = None
     seed: int = 0
+    # trainable dense heads (--addxlinear/--linearthenpool/--useact/--outfeats,
+    # training_nli_v2.py:93-117): list of dicts with keys
+    # in_features/out_features[/bias/activation/location]
+    dense_heads: Optional[list] = None
     # optional metrics sink called with {'step', 'loss'|'eval_score', ...} —
     # plug wandb.log here (the reference's optional wandb integration,
     # SentenceTransformer.py:673-675,817-818)
@@ -87,25 +91,51 @@ class ContrastiveTrainer:
         self._step_fn = None
         self._opt = None
 
+        # auxiliary trainable params outside the decoder (stay trainable even
+        # under BitFit, like the reference's pooling/Dense modules which are
+        # never frozen — training_nli_v2.py freezes only the transformer)
+        self.aux: dict = {}
+        self._head_meta: list = []
+        if train_config.pooling == "learned_weightedmean":
+            # learnt per-position weights, init 1.0 (WeightedMeanPooling.py:19)
+            self.aux["pos_weights"] = jnp.ones(
+                (train_config.max_seq_len,), jnp.float32)
+        if train_config.dense_heads:
+            key = jax.random.key(train_config.seed + 1)
+            heads = []
+            for spec in train_config.dense_heads:
+                key, sub = jax.random.split(key)
+                h = {"w": 0.02 * jax.random.normal(
+                    sub, (spec["in_features"], spec["out_features"]), jnp.float32)}
+                if spec.get("bias", True):
+                    h["b"] = jnp.zeros((spec["out_features"],), jnp.float32)
+                heads.append(h)
+                self._head_meta.append(
+                    {"activation": spec.get("activation", "identity"),
+                     "location": spec.get("location", "post_pool")})
+            self.aux["heads"] = heads
+
     # ------------------------------------------------------------------
     def _build_optimizer(self, total_steps: int):
         tc = self.tc
         schedule = make_schedule(tc.scheduler, tc.lr,
                                  int(tc.warmup_ratio * total_steps), total_steps)
 
-        # no weight decay on bias/LayerNorm leaves (ST fit :729-733)
+        tree = {"model": self.params, "aux": self.aux}
+        # no weight decay on bias/LayerNorm/position-weight leaves (ST :729-733)
         decay_mask = jax.tree_util.tree_map_with_path(
             lambda path, _: not any(
                 getattr(p, "key", None) in ("bias", "bi", "bo", "bq", "bk", "bv",
-                                            "scale")
+                                            "b", "scale", "pos_weights")
                 for p in path),
-            self.params)
+            tree)
         base = optax.chain(
             optax.clip_by_global_norm(tc.max_grad_norm),
             optax.adamw(schedule, weight_decay=tc.weight_decay, mask=decay_mask),
         )
         if tc.freeze_nonbias:
-            mask = bitfit_mask(self.params, train_wte=tc.train_wte)
+            mask = {"model": bitfit_mask(self.params, train_wte=tc.train_wte),
+                    "aux": jax.tree.map(lambda _: True, self.aux)}
             inv = jax.tree.map(lambda m: not m, mask)
             # zero frozen grads BEFORE (clip norm sees only trainable grads) and
             # AFTER (adamw weight decay must not touch frozen leaves)
@@ -116,12 +146,35 @@ class ContrastiveTrainer:
         return base
 
     def _encode_fn(self):
+        from ..encoder import _ACTIVATIONS
+        from ..ops.pooling import learned_weighted_mean_pool
+
         cfg, method = self.cfg, self.tc.pooling
         pooler = POOLERS.get(method, weighted_mean_pool)
+        head_meta = list(self._head_meta)
+        learned = method == "learned_weightedmean"
 
-        def encode(params, chunk):
-            h = forward(params, chunk["ids"], chunk["mask"], cfg)
-            return pooler(h, chunk["mask"])
+        def encode(tree, chunk):
+            h = forward(tree["model"], chunk["ids"], chunk["mask"], cfg)
+            heads = tree["aux"].get("heads", [])
+            for p, meta in zip(heads, head_meta):
+                if meta["location"] == "pre_pool":
+                    h = h @ p["w"].astype(h.dtype)
+                    if "b" in p:
+                        h = h + p["b"].astype(h.dtype)
+                    h = _ACTIVATIONS[meta["activation"]](h)
+            if learned:
+                emb = learned_weighted_mean_pool(h, chunk["mask"],
+                                                 tree["aux"]["pos_weights"])
+            else:
+                emb = pooler(h, chunk["mask"])
+            for p, meta in zip(heads, head_meta):
+                if meta["location"] == "post_pool":
+                    emb = emb @ p["w"].astype(emb.dtype)
+                    if "b" in p:
+                        emb = emb + p["b"].astype(emb.dtype)
+                    emb = _ACTIVATIONS[meta["activation"]](emb)
+            return emb
 
         return encode
 
@@ -136,20 +189,20 @@ class ContrastiveTrainer:
                                               else loss_fn(a, p, n)))
 
             @jax.jit
-            def step(params, opt_state, *towers):
-                loss, grads = vg(params, *towers)
-                updates, opt_state = self._opt.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), opt_state, loss
+            def step(tree, opt_state, *towers):
+                loss, grads = vg(tree, *towers)
+                updates, opt_state = self._opt.update(grads, opt_state, tree)
+                return optax.apply_updates(tree, updates), opt_state, loss
         else:
-            def direct_loss(params, towers):
-                reps = [encode(params, t) for t in towers]
+            def direct_loss(tree, towers):
+                reps = [encode(tree, t) for t in towers]
                 return loss_fn(*reps)
 
             @jax.jit
-            def step(params, opt_state, *towers):
-                loss, grads = jax.value_and_grad(direct_loss)(params, list(towers))
-                updates, opt_state = self._opt.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), opt_state, loss
+            def step(tree, opt_state, *towers):
+                loss, grads = jax.value_and_grad(direct_loss)(tree, list(towers))
+                updates, opt_state = self._opt.update(grads, opt_state, tree)
+                return optax.apply_updates(tree, updates), opt_state, loss
 
         return step
 
@@ -182,7 +235,8 @@ class ContrastiveTrainer:
         tc = self.tc
         total = steps_per_epoch * tc.epochs
         self._opt = self._build_optimizer(total)
-        opt_state = self._opt.init(self.params)
+        tree = {"model": self.params, "aux": self.aux}
+        opt_state = self._opt.init(tree)
         step_fn = self._build_step()
 
         history: List[dict] = []
@@ -191,7 +245,8 @@ class ContrastiveTrainer:
             t0 = time.time()
             for batch in train_batches():
                 towers = self._prep_batch(batch)
-                self.params, opt_state, loss = step_fn(self.params, opt_state, *towers)
+                tree, opt_state, loss = step_fn(tree, opt_state, *towers)
+                self.params, self.aux = tree["model"], tree["aux"]
                 gstep += 1
                 if gstep % max(1, steps_per_epoch // 10) == 0:
                     logger.info("epoch %d step %d loss %.4f", epoch, gstep, float(loss))
@@ -207,8 +262,25 @@ class ContrastiveTrainer:
                 self._evaluate(evaluator, gstep, history)
             logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
 
-        return {"params": self.params, "best_params": self.best_params or self.params,
+        return {"params": self.params, "aux": self.aux,
+                "best_params": self.best_params or self.params,
                 "best_score": self.best_score, "history": history}
+
+    def export_model(self, tokenizer_name: Optional[str] = None):
+        """Package trained weights as an SGPTModel (dense heads + learnt mean)."""
+        from ..model import SGPTModel
+        dense_heads = None
+        if self._head_meta:
+            dense_heads = [{**w, **m} for w, m in
+                           zip(self.aux.get("heads", []), self._head_meta)]
+        return SGPTModel(
+            self.params, self.cfg, self.tokenizer,
+            method=("learned_weightedmean"
+                    if "pos_weights" in self.aux else self.tc.pooling),
+            specb=self.tc.specb, max_seq_len=self.tc.max_seq_len,
+            dense_heads=dense_heads,
+            learned_weights=self.aux.get("pos_weights"),
+            tokenizer_name=tokenizer_name)
 
     def _evaluate(self, evaluator, step, history):
         score = float(evaluator(self.params))
@@ -230,10 +302,11 @@ class ContrastiveTrainer:
             return
         from .checkpoint import save_checkpoint as _save, prune_checkpoints
         path = os.path.join(self.tc.output_dir, "checkpoints", str(step))
-        _save(path, self.params, opt_state=opt_state, step=step)
+        _save(path, {"model": self.params, "aux": self.aux},
+              opt_state=opt_state, step=step)
         prune_checkpoints(os.path.join(self.tc.output_dir, "checkpoints"),
                           self.tc.checkpoint_limit)
 
     def save_model(self, path: str):
         from .checkpoint import save_checkpoint as _save
-        _save(path, self.params, step=None)
+        _save(path, {"model": self.params, "aux": self.aux}, step=None)

@@ -108,8 +108,40 @@ def test_checkpointing_and_retention(tmp_path):
     ckpts = sorted(int(d) for d in os.listdir(tmp_path / "checkpoints"))
     assert len(ckpts) == 2  # retention pruned
 
-    restored = load_checkpoint(str(tmp_path / "checkpoints" / str(ckpts[-1])),
-                               like_params=trainer.params)
-    leaves_a = jax.tree.leaves(restored)
+    restored = load_checkpoint(
+        str(tmp_path / "checkpoints" / str(ckpts[-1])),
+        like_params={"model": trainer.params, "aux": trainer.aux})
+    leaves_a = jax.tree.leaves(restored["model"])
     leaves_b = jax.tree.leaves(trainer.params)
     assert len(leaves_a) == len(leaves_b)
+
+
+def test_learned_weightedmean_weights_train():
+    trainer = _make_trainer(pooling="learned_weightedmean", epochs=1, lr=1e-2)
+    assert "pos_weights" in trainer.aux
+    before = np.asarray(trainer.aux["pos_weights"]).copy()
+    _fit(trainer, _toy_triplets(32))
+    after = np.asarray(trainer.aux["pos_weights"])
+    assert not np.array_equal(before, after)
+
+
+def test_learned_weights_train_even_under_bitfit():
+    trainer = _make_trainer(pooling="learned_weightedmean", epochs=1, lr=1e-2,
+                            freeze_nonbias=True)
+    before = np.asarray(trainer.aux["pos_weights"]).copy()
+    _fit(trainer, _toy_triplets(16))
+    assert not np.array_equal(before, np.asarray(trainer.aux["pos_weights"]))
+
+
+def test_dense_heads_train_and_export():
+    trainer = _make_trainer(
+        epochs=1, lr=1e-2,
+        dense_heads=[{"in_features": 32, "out_features": 16,
+                      "activation": "gelu", "location": "post_pool"}])
+    before = np.asarray(trainer.aux["heads"][0]["w"]).copy()
+    _fit(trainer, _toy_triplets(16))
+    assert not np.array_equal(before, np.asarray(trainer.aux["heads"][0]["w"]))
+
+    model = trainer.export_model()
+    emb = model.encode(["exported model"])
+    assert emb.shape == (1, 16)  # head output dim
