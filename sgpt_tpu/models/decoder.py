@@ -139,8 +139,9 @@ def flash_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
                           attention_mask: jax.Array, local_flag,
                           rope: Optional[tuple],
                           slopes: Optional[jax.Array]) -> jax.Array:
-    """Causal attention via the Pallas flash kernel (serving path)."""
-    from ..ops.pallas.flash_attention import flash_attention
+    """Causal attention via the Pallas flash kernel (differentiable:
+    Pallas forward + blockwise-scan backward, flash_attention_trainable)."""
+    from ..ops.pallas.flash_attention import flash_attention_trainable
 
     B, T, _ = x.shape
     H, Dh = cfg.num_heads, cfg.head_size
@@ -150,8 +151,8 @@ def flash_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
     block = 256 if T % 256 == 0 else 128
 
     def run(window: int):
-        return flash_attention(q, k, v, attention_mask, slopes, scale=scale,
-                               window=window, block_q=block, block_kv=block)
+        return flash_attention_trainable(q, k, v, attention_mask, slopes,
+                                         scale, window, block)
 
     if any(cfg.local_flags()):
         out = jax.lax.cond(local_flag, lambda: run(cfg.local_window),

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *,
                   scale: float, window: int, block_q: int, block_kv: int,
                   use_alibi: bool):
@@ -102,17 +102,21 @@ def _flash_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref,
         l = l_scr[:]
         l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) query rows
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        # logsumexp per query row (the flash-backward residual)
+        lse_ref[0, 0, :, 0] = (m_scr[:, 0] + jnp.log(l[:, 0]))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "block_q", "block_kv", "interpret"))
+    static_argnames=("scale", "window", "block_q", "block_kv", "interpret",
+                     "return_residuals"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     key_mask: jax.Array,
                     alibi_slopes: Optional[jax.Array] = None, *,
                     scale: float = 1.0, window: int = 0,
                     block_q: int = 128, block_kv: int = 128,
-                    interpret: Optional[bool] = None) -> jax.Array:
+                    interpret: Optional[bool] = None,
+                    return_residuals: bool = False) -> jax.Array:
     """Causal attention.
 
     q, k, v:   (B, H, T, Dh) — T must divide by block sizes
@@ -148,7 +152,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     except TypeError:  # older/newer param surface
         compiler_params = None
 
-    return pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -160,9 +164,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, Dh),
-                               lambda b, h, qi, ki: (b, h, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),    # running max
             pltpu.VMEM((block_q, 1), jnp.float32),    # running sum
@@ -171,3 +180,101 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         **({"compiler_params": compiler_params} if compiler_params else {}),
         interpret=interpret,
     )(key_mask.astype(jnp.int32), slopes[None, :], q, k, v)
+    out, lse = result
+    if return_residuals:
+        return out, lse[..., 0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Trainable flash attention: Pallas forward + blockwise-scan backward.
+#
+# The backward is the standard flash recipe (recompute P per KV tile from the
+# saved logsumexp; D = rowsum(dO ∘ O); dS = P ∘ (dP − D)) expressed as a
+# lax.scan over KV tiles — the (T, T) matrix never materializes, peak extra
+# memory is one (B, H, T, block_kv) tile. XLA compiles the scan body onto the
+# MXU; a hand-written Mosaic backward is a later optimization, not a
+# correctness need.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_trainable(q, k, v, key_mask, alibi_slopes,
+                              scale: float = 1.0, window: int = 0,
+                              block_kv: int = 128):
+    """Differentiable causal flash attention. Args as flash_attention;
+    alibi_slopes must be an (H,) array or None (no grad either way)."""
+    return flash_attention(q, k, v, key_mask, alibi_slopes,
+                           scale=scale, window=window, block_kv=block_kv)
+
+
+def _flash_fwd(q, k, v, key_mask, alibi_slopes, scale, window, block_kv):
+    out, lse = flash_attention(q, k, v, key_mask, alibi_slopes, scale=scale,
+                               window=window, block_kv=block_kv,
+                               return_residuals=True)
+    return out, (q, k, v, key_mask, alibi_slopes, out, lse)
+
+
+def _flash_bwd(scale, window, block_kv, residuals, g):
+    q, k, v, key_mask, alibi_slopes, out, lse = residuals
+    B, H, T, Dh = q.shape
+    bkv = min(block_kv, T)
+    n_kv = T // bkv
+    f32 = jnp.float32
+
+    qf = q.astype(f32)
+    gf = g.astype(f32)
+    # D_i = sum_j dO_ij * O_ij  (B, H, T)
+    D = jnp.sum(gf * out.astype(f32), axis=-1)
+
+    qpos = jnp.arange(T)
+    k_tiles = k.reshape(B, H, n_kv, bkv, Dh).astype(f32)
+    v_tiles = v.reshape(B, H, n_kv, bkv, Dh).astype(f32)
+    mask_tiles = key_mask.reshape(B, n_kv, bkv)
+
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.astype(f32)
+    else:
+        slopes = None
+
+    def tile_bias_mask(ki):
+        kpos = ki * bkv + jnp.arange(bkv)
+        m = kpos[None, :] <= qpos[:, None]
+        if window > 0:
+            m = jnp.logical_and(m, kpos[None, :] > qpos[:, None] - window)
+        return m, kpos  # (T, bkv), (bkv,)
+
+    def step(dq_acc, inp):
+        ki, k_t, v_t, km_t = inp
+        m2d, kpos = tile_bias_mask(ki)
+        full_mask = jnp.logical_and(m2d[None, None],
+                                    km_t[:, None, None, :].astype(bool))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_t,
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        if slopes is not None:
+            s = s + slopes[None, :, None, None] * kpos.astype(f32)[None, None, None, :]
+        p = jnp.where(full_mask, jnp.exp(s - lse[..., None]), 0.0)
+        dv_t = jnp.einsum("bhqk,bhqd->bhkd", p, gf, preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_t, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+        ds = p * (dp - D[..., None])
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_t,
+                                     preferred_element_type=f32,
+                                     precision=jax.lax.Precision.HIGHEST) * scale
+        dk_t = jnp.einsum("bhqk,bhqd->bhkd", ds, qf, preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST) * scale
+        return dq_acc, (dk_t, dv_t)
+
+    ks = jnp.arange(n_kv, dtype=jnp.int32)
+    dq, (dk_tiles, dv_tiles) = jax.lax.scan(
+        step, jnp.zeros((B, H, T, Dh), f32),
+        (ks, jnp.moveaxis(k_tiles, 2, 0), jnp.moveaxis(v_tiles, 2, 0),
+         jnp.moveaxis(mask_tiles, 1, 0)))
+    dk = jnp.moveaxis(dk_tiles, 0, 2).reshape(B, H, T, Dh)
+    dv = jnp.moveaxis(dv_tiles, 0, 2).reshape(B, H, T, Dh)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd)
