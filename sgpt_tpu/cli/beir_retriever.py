@@ -14,7 +14,7 @@ import json
 import logging
 import os
 
-from .common import build_model, setup_logging
+from .common import add_mesh_args, build_mesh, build_model, maybe_shard, setup_logging
 
 logger = logging.getLogger(__name__)
 
@@ -39,6 +39,7 @@ def parse_args():
                    help="random weights (smoke/debug; reference --reinit)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--topk", type=int, default=1000)
+    add_mesh_args(p)
     return p.parse_args()
 
 
@@ -69,10 +70,12 @@ def main(args=None):
     params, cfg, tokenizer = build_model(args.modelname,
                                          random_init=args.randominit,
                                          dtype_str=args.dtype)
+    mesh = build_mesh(args)
+    params = maybe_shard(params, mesh)
     engine = EmbeddingEngine(
         params, cfg, tokenizer, method=args.method, specb=args.specb,
         layeridx=args.layeridx, max_seq_len=args.maxseqlen,
-        batch_size=args.batchsize,
+        batch_size=args.batchsize, mesh=mesh,
         cache_dir=(f"embeddings/{args.modelname.split('/')[-1]}/"
                    f"{args.method}/{args.dataset}" if args.saveemb else None))
 

@@ -14,6 +14,31 @@ def setup_logging():
         level=logging.INFO)
 
 
+def add_mesh_args(parser):
+    parser.add_argument("--dp", type=int, default=-1,
+                        help="data-parallel mesh axis (-1 = all devices / tp)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh axis (Megatron sharding; "
+                        "replaces the reference's device_map='auto', sgptce.py:54)")
+    return parser
+
+
+def build_mesh(args):
+    """Mesh from --dp/--tp flags; None for the trivial 1-device case."""
+    import jax
+    if args.tp == 1 and (args.dp in (-1, 1)) and jax.device_count() == 1:
+        return None
+    from ..parallel import make_mesh
+    return make_mesh(dp=args.dp, tp=args.tp)
+
+
+def maybe_shard(params, mesh):
+    if mesh is None:
+        return params
+    from ..parallel import shard_params
+    return shard_params(params, mesh)
+
+
 def build_model(model_name: str, *, random_init: bool = False,
                 dtype_str: str = "bfloat16"):
     """(params, cfg, tokenizer) from an HF name/path, or a random-init preset.

@@ -12,7 +12,7 @@ import json
 import logging
 import os
 
-from .common import build_model, setup_logging
+from .common import add_mesh_args, build_mesh, build_model, maybe_shard, setup_logging
 
 logger = logging.getLogger(__name__)
 
@@ -30,6 +30,7 @@ def parse_args():
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--output", default=None)
+    add_mesh_args(p)
     return p.parse_args()
 
 
@@ -53,6 +54,9 @@ def main(args=None):
     params, cfg, tokenizer = build_model(args.modelpath,
                                          random_init=args.randominit,
                                          dtype_str=args.dtype)
+    # TP sharding of the big CE models (GPT-J/BLOOM) — the pjit replacement for
+    # the reference's device_map="auto" layer offloading (sgptce.py:54-60)
+    params = maybe_shard(params, build_mesh(args))
     ranker = CrossEncoderRanker(params, cfg, tokenizer,
                                 batch_size=args.batchsize,
                                 max_length=args.maxseqlen)

@@ -52,6 +52,30 @@ class DenseIndex:
         self._ids.extend(ids if ids is not None
                          else (str(start + i) for i in range(emb.shape[0])))
 
+    @classmethod
+    def from_device_embeddings(cls, corpus: jax.Array,
+                               ids: Optional[Sequence[str]] = None, *,
+                               mesh=None, normalize_embeddings: bool = False,
+                               block_size: int = 128) -> "DenseIndex":
+        """Wrap an already-on-device (N, D) embedding array (no host copy)."""
+        n, dim = corpus.shape
+        idx = cls(dim, mesh=mesh, normalize_embeddings=normalize_embeddings,
+                  block_size=block_size, dtype=corpus.dtype)
+        idx._count = n
+        idx._ids = list(ids) if ids is not None else [str(i) for i in range(n)]
+        n_dev = mesh.shape["dp"] if mesh is not None else 1
+        granularity = block_size * n_dev
+        n_pad = max(_round_up(n, granularity), granularity)
+        if n_pad != n:
+            pad = jnp.zeros((n_pad - n, dim), corpus.dtype)
+            corpus = jnp.concatenate([corpus, pad])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            corpus = jax.device_put(corpus, NamedSharding(mesh, P("dp", None)))
+        idx._corpus = corpus
+        idx._search_fn = idx._make_search_fn()
+        return idx
+
     def build(self):
         """Pad to static shape and place on device(s)."""
         emb = np.concatenate(self._chunks, axis=0) if self._chunks else \

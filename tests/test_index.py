@@ -56,6 +56,22 @@ def test_sharded_matches_single():
         assert set(a) == set(b)
 
 
+def test_from_device_embeddings():
+    import jax.numpy as jnp
+    corpus, queries = _data(n=300, d=8, q=3, seed=3)
+    idx = DenseIndex.from_device_embeddings(jnp.asarray(corpus))
+    assert len(idx) == 300
+    vals, ids = idx.search_embeddings(queries, k=4)
+    want = np.argsort(-(queries @ corpus.T), axis=1)[:, :4]
+    for qi in range(3):
+        assert set(map(int, ids[qi])) == set(want[qi].tolist())
+
+    mesh = make_mesh(dp=8, tp=1)
+    idx_s = DenseIndex.from_device_embeddings(jnp.asarray(corpus), mesh=mesh)
+    v2, i2 = idx_s.search_embeddings(queries, k=4)
+    np.testing.assert_allclose(v2, vals, atol=1e-5)
+
+
 def test_dot_mode_no_normalize():
     corpus, queries = _data(n=256, d=8, q=3, seed=2)
     idx = DenseIndex(8, normalize_embeddings=False, dtype=jax.numpy.float32)
