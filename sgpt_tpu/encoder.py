@@ -213,8 +213,9 @@ class EmbeddingEngine:
         h = hashlib.sha1()
         h.update(f"{self.method}|{self.layeridx}|{self.codec.specb}|{is_query}|"
                  f"{self.normalize}|{len(texts)}".encode())
-        for t in texts[:100]:
-            h.update(t[:200].encode())
+        for t in texts:  # cover every text (cheaply) — chunk-level resumability
+            h.update(str(len(t)).encode())
+            h.update(t[:64].encode())
         return os.path.join(self.cache_dir, h.hexdigest() + ".npy")
 
     def _cache_load(self, texts, is_query):
