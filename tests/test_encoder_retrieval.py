@@ -69,6 +69,25 @@ def test_end_to_end_retrieval(tmp_path, engine):
     assert recall["Recall@1"] == 1.0
 
 
+def test_multi_chunk_retrieval_matches_bruteforce(engine):
+    """Corpus larger than corpus_chunk_size: the running host merge across
+    chunks must equal one-shot brute force."""
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(50)]
+    docs = {f"d{i}": " ".join(rng.choice(words, size=6)) for i in range(60)}
+    corpus = {d: {"title": "", "text": t} for d, t in docs.items()}
+    queries = {f"q{i}": docs[f"d{i * 7}"] for i in range(5)}
+
+    chunked = DenseRetriever(engine, corpus_chunk_size=17, device_chunk=128)
+    single = DenseRetriever(engine, corpus_chunk_size=10_000, device_chunk=128)
+    r1 = chunked.search(corpus, queries, top_k=10)
+    r2 = single.search(corpus, queries, top_k=10)
+    for qid in queries:
+        assert set(r1[qid]) == set(r2[qid]), qid
+        for d in r1[qid]:
+            assert abs(r1[qid][d] - r2[qid][d]) < 1e-5
+
+
 def test_beir_loader_roundtrip(tmp_path):
     os.makedirs(tmp_path / "qrels")
     with open(tmp_path / "corpus.jsonl", "w") as f:
