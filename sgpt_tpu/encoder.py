@@ -154,6 +154,23 @@ class EmbeddingEngine:
                 self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
 
     # ------------------------------------------------------------------
+    def warmup(self, lengths: Optional[Sequence[int]] = None):
+        """Precompile the (batch, bucket) shapes a serving deployment will hit
+        (first-compile latency is seconds; pay it before traffic, not during)."""
+        lengths = lengths or [b for b in self.codec.buckets
+                              if b <= self.codec.max_seq_len]
+        dummy = np.zeros((self.batch_size, 1), np.int32)
+        for T in lengths:
+            ids = np.zeros((self.batch_size, T), np.int32)
+            mask = np.ones((self.batch_size, T), np.int32)
+            _embed_step(self.params, self.heads, jnp.asarray(ids),
+                        jnp.asarray(mask), self.learned_weights, self.cfg,
+                        self.method, self.layeridx, self.normalize,
+                        self.has_learned_weights,
+                        tuple(self.pre_acts), tuple(self.post_acts))
+        del dummy
+        return self
+
     def encode(self, texts: Sequence[str], *, is_query: bool = False,
                show_progress: bool = False) -> np.ndarray:
         """Embed a list of texts → (N, D) numpy array (original order)."""

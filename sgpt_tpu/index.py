@@ -153,3 +153,25 @@ class DenseIndex:
 
     def __len__(self) -> int:
         return self._count
+
+
+def index_corpus(engine, corpus, *, mesh=None, batch_docs: int = 50_000,
+                 normalize_embeddings: bool = True, **index_kw) -> DenseIndex:
+    """Embed a BEIR-shaped corpus ({docid: {title, text}}) into a DenseIndex.
+
+    The embed→index half of the engine: streams the corpus through the
+    EmbeddingEngine in chunks (longest-first, like retrieval) and accumulates
+    the index, ready for `search_embeddings`.
+    """
+    doc_ids = sorted(
+        corpus, key=lambda d: len(corpus[d].get("title", "") + corpus[d].get("text", "")),
+        reverse=True) if isinstance(corpus, dict) else list(range(len(corpus)))
+    get = (lambda d: corpus[d]) if isinstance(corpus, dict) else (lambda d: corpus[d])
+
+    index = DenseIndex(engine.out_dim, mesh=mesh,
+                       normalize_embeddings=normalize_embeddings, **index_kw)
+    for s in range(0, len(doc_ids), batch_docs):
+        chunk = doc_ids[s : s + batch_docs]
+        emb = engine.encode_corpus([get(d) for d in chunk])
+        index.add(emb, ids=[str(d) for d in chunk])
+    return index.build()

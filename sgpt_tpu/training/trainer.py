@@ -310,3 +310,17 @@ class ContrastiveTrainer:
     def save_model(self, path: str):
         from .checkpoint import save_checkpoint as _save
         _save(path, {"model": self.params, "aux": self.aux}, step=None)
+
+    def restore(self, path: str):
+        """Resume weights from a step checkpoint or saved model dir.
+
+        (The reference never resumes optimizer state — fresh fit each run,
+        SURVEY.md §5; we restore weights the same way. Optimizer state is in
+        the checkpoint for forensic use.)
+        """
+        from .checkpoint import load_checkpoint
+        tree = load_checkpoint(path, like_params={"model": self.params,
+                                                  "aux": self.aux})
+        self.params = jax.tree.map(jnp.asarray, tree["model"])
+        self.aux = jax.tree.map(jnp.asarray, tree.get("aux", self.aux))
+        return self

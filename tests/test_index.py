@@ -72,6 +72,62 @@ def test_from_device_embeddings():
     np.testing.assert_allclose(v2, vals, atol=1e-5)
 
 
+def test_index_corpus_glue():
+    import jax as _jax
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.index import index_corpus
+    from sgpt_tpu.models import tiny, init_params
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    engine = EmbeddingEngine(init_params(cfg, _jax.random.key(0)), cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=4)
+    corpus = {f"d{i}": {"title": "", "text": f"unique document {i} words"}
+              for i in range(10)}
+    index = index_corpus(engine, corpus, batch_docs=4)
+    assert len(index) == 10
+    q = engine.encode(["unique document 3 words"], is_query=True)
+    _, ids = index.search_embeddings(q, k=1)
+    assert ids[0][0] == "d3"
+
+
+def test_engine_warmup():
+    import jax as _jax
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.models import tiny, init_params
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    engine = EmbeddingEngine(init_params(cfg, _jax.random.key(0)), cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=2, max_seq_len=64)
+    engine.warmup([16, 32])
+    out = engine.encode(["warm path"])
+    assert out.shape == (1, cfg.hidden_size)
+
+
+def test_trainer_restore(tmp_path):
+    import jax as _jax
+    from sgpt_tpu.models import tiny, init_params
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
+
+    cfg = tiny("neo", num_layers=1, hidden_size=32, num_heads=2, vocab_size=128)
+    t1 = ContrastiveTrainer(init_params(cfg, _jax.random.key(0)), cfg,
+                            SimpleTokenizer(vocab_size=128),
+                            TrainConfig(output_dir=str(tmp_path)))
+    t1.save_model(str(tmp_path / "saved"))
+
+    t2 = ContrastiveTrainer(init_params(cfg, _jax.random.key(5)), cfg,
+                            SimpleTokenizer(vocab_size=128),
+                            TrainConfig())
+    t2.restore(str(tmp_path / "saved"))
+    a = np.asarray(t1.params["layers"]["attn"]["wq"])
+    b = np.asarray(t2.params["layers"]["attn"]["wq"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dot_mode_no_normalize():
     corpus, queries = _data(n=256, d=8, q=3, seed=2)
     idx = DenseIndex(8, normalize_embeddings=False, dtype=jax.numpy.float32)
