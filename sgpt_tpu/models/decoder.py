@@ -187,23 +187,57 @@ def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool)
     return bias_global, jnp.where(ok_local, 0.0, NEG_INF)
 
 
-@partial(jax.jit, static_argnames=("cfg", "output_hidden_states"))
+@partial(jax.jit, static_argnames=("cfg", "output_hidden_states", "sp_mesh",
+                                   "sp_axis"))
 def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
             cfg: DecoderConfig, *, output_hidden_states: bool = False,
-            position_ids: Optional[jax.Array] = None):
+            position_ids: Optional[jax.Array] = None,
+            sp_mesh=None, sp_axis: str = "dp"):
     """Run the decoder.
 
     Returns final hidden states (B, T, D) after ln_f, or — with
     output_hidden_states — a stacked (L+1, B, T, D) array with HF tuple semantics.
+
+    sp_mesh: optional Mesh for SEQUENCE parallelism — attention runs as ring
+    attention over `sp_axis` (ops/ring_attention.py) so T scales with chips;
+    everything token-local (embeds, layernorm, MLP) shards automatically.
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _forward_impl(params, input_ids, attention_mask, cfg,
                              output_hidden_states=output_hidden_states,
-                             position_ids=position_ids)
+                             position_ids=position_ids,
+                             sp_mesh=sp_mesh, sp_axis=sp_axis)
+
+
+def ring_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
+                         attention_mask: jax.Array, local_flag,
+                         rope: Optional[tuple], slopes: Optional[jax.Array],
+                         mesh, axis: str) -> jax.Array:
+    """Causal attention with the sequence axis sharded over `mesh[axis]`."""
+    from ..ops.ring_attention import ring_attention
+
+    B, T, _ = x.shape
+    H, Dh = cfg.num_heads, cfg.head_size
+    q, k, v = _qkv(x, p, cfg, rope)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    scale = 1.0 / math.sqrt(Dh) if cfg.scale_attn else 1.0
+
+    def run(window: int):
+        return ring_attention(q, k, v, attention_mask, slopes, mesh=mesh,
+                              axis=axis, scale=scale, window=window)
+
+    if any(cfg.local_flags()):
+        out = jax.lax.cond(local_flag, lambda: run(cfg.local_window),
+                           lambda: run(0))
+    else:
+        out = run(0)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+    return _project(out, p["wo"], p.get("bo"))
 
 
 def _forward_impl(params, input_ids, attention_mask, cfg, *,
-                  output_hidden_states, position_ids):
+                  output_hidden_states, position_ids, sp_mesh=None,
+                  sp_axis="dp"):
     B, T = input_ids.shape
     dtype = cfg.dtype
 
@@ -222,17 +256,18 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     if cfg.position_embedding == "rotary":
         rope = rope_sincos(positions, cfg.rotary_dim)
 
-    use_flash = cfg.use_flash and T % 128 == 0
+    use_sp = sp_mesh is not None
+    use_flash = cfg.use_flash and T % 128 == 0 and not use_sp
     alibi = None
     slopes = None
     if cfg.position_embedding == "alibi":
-        if use_flash:
+        if use_flash or use_sp:
             slopes = alibi_slopes(cfg.num_heads)
         else:
             alibi = build_alibi_bias(attention_mask, cfg.num_heads)
 
     any_local = any(cfg.local_flags())
-    if use_flash:
+    if use_flash or use_sp:
         bias_global = bias_local = None
     else:
         bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window,
@@ -244,7 +279,11 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     def block(x, xs):
         p, local_flag = xs
         h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
-        if use_flash:
+        if use_sp:
+            attn_out = ring_attention_layer(h1, p["attn"], cfg, attention_mask,
+                                            local_flag, rope, slopes,
+                                            sp_mesh, sp_axis)
+        elif use_flash:
             attn_out = flash_attention_layer(h1, p["attn"], cfg, attention_mask,
                                              local_flag, rope, slopes)
         else:

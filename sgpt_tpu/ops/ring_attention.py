@@ -26,7 +26,7 @@ NEG = jnp.float32(-1e30)
 
 
 def _local_ring_step(q, kv_k, kv_v, kv_mask, q_pos, kv_start, state, scale,
-                     window):
+                     window, slopes=None):
     """Fold one K/V block into the online-softmax state."""
     m_prev, l_prev, acc = state
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kv_k,
@@ -36,6 +36,8 @@ def _local_ring_step(q, kv_k, kv_v, kv_mask, q_pos, kv_start, state, scale,
         s = s * scale
     T_blk = kv_k.shape[2]
     kv_pos = kv_start + jnp.arange(T_blk)
+    if slopes is not None:  # ALiBi: slope_h * key_position (right-padding form)
+        s = s + slopes[None, :, None, None] * kv_pos.astype(jnp.float32)[None, None, None, :]
     mask = kv_pos[None, :] <= q_pos[:, None]
     if window > 0:
         mask = jnp.logical_and(mask, kv_pos[None, :] > q_pos[:, None] - window)
@@ -57,7 +59,9 @@ def _local_ring_step(q, kv_k, kv_v, kv_mask, q_pos, kv_start, state, scale,
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "scale", "window"))
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                   key_mask: jax.Array, *, mesh: Mesh, axis: str = "dp",
+                   key_mask: jax.Array,
+                   alibi_slopes: Optional[jax.Array] = None, *,
+                   mesh: Mesh, axis: str = "dp",
                    scale: float = 1.0, window: int = 0) -> jax.Array:
     """q, k, v: (B, H, T, Dh); key_mask: (B, T). T must divide by mesh[axis].
 
@@ -67,17 +71,20 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, T, Dh = q.shape
     assert T % n_dev == 0, (T, n_dev)
     T_local = T // n_dev
+    slopes = (alibi_slopes.astype(jnp.float32)
+              if alibi_slopes is not None else None)
 
     def shard_fn(q_s, k_s, v_s, mask_s):
         rank = jax.lax.axis_index(axis)
         q_pos = rank * T_local + jnp.arange(T_local)
 
-        # pvary: the replicated init must be typed shard-varying so the loop
-        # carry (which mixes with per-shard data) type-checks under shard_map
-        state = jax.lax.pvary(
+        # the replicated init must be typed shard-varying so the loop carry
+        # (which mixes with per-shard data) type-checks under shard_map
+        state = jax.lax.pcast(
             (jnp.full((B, H, T_local, 1), NEG),
              jnp.zeros((B, H, T_local, 1), jnp.float32),
-             jnp.zeros((B, H, T_local, Dh), jnp.float32)), (axis,))
+             jnp.zeros((B, H, T_local, Dh), jnp.float32)),
+            (axis,), to="varying")
 
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
@@ -85,7 +92,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             state, kv_k, kv_v, kv_mask = carry
             src_rank = (rank - step) % n_dev
             state = _local_ring_step(q_s, kv_k, kv_v, kv_mask, q_pos,
-                                     src_rank * T_local, state, scale, window)
+                                     src_rank * T_local, state, scale, window,
+                                     slopes)
             kv_k = jax.lax.ppermute(kv_k, axis, perm)
             kv_v = jax.lax.ppermute(kv_v, axis, perm)
             kv_mask = jax.lax.ppermute(kv_mask, axis, perm)
