@@ -29,12 +29,18 @@ class DenseIndex:
     """Exact MIPS index over (possibly mesh-sharded) corpus embeddings."""
 
     def __init__(self, dim: int, *, normalize_embeddings: bool = True,
-                 mesh=None, block_size: int = 128, dtype=jnp.bfloat16):
+                 mesh=None, block_size: int = 128, dtype=jnp.bfloat16,
+                 kernel: str = "blockmax"):
+        """kernel: 'blockmax' (XLA two-phase, any k) or 'pallas' (streaming
+        fused kernel, k <= 16, single-device — ops/pallas/mips.py)."""
         self.dim = dim
         self.normalize = normalize_embeddings
         self.mesh = mesh
         self.block_size = block_size
         self.dtype = dtype
+        self.kernel = kernel
+        if kernel == "pallas" and mesh is not None:
+            raise ValueError("pallas kernel is single-device; use blockmax with a mesh")
         self._chunks: List[np.ndarray] = []
         self._ids: List[str] = []
         self._corpus = None       # device array after build()
@@ -99,6 +105,16 @@ class DenseIndex:
     def _make_search_fn(self):
         block_size = self.block_size
         if self.mesh is None:
+            if self.kernel == "pallas":
+                from .ops.pallas.mips import mips_topk
+                n = self._corpus.shape[0]
+                tile = 2048 if n % 2048 == 0 else block_size
+
+                def search(queries, k: int):
+                    return mips_topk(queries, self._corpus, self._count, k=k,
+                                     tile_n=tile)
+                return search
+
             def search(queries, k: int):
                 return blockmax_topk(queries, self._corpus, self._count, k=k,
                                      block_size=block_size)

@@ -72,6 +72,21 @@ def test_from_device_embeddings():
     np.testing.assert_allclose(v2, vals, atol=1e-5)
 
 
+def test_pallas_kernel_index_matches_blockmax():
+    corpus, queries = _data(n=512, d=16, q=4, seed=4)
+    a = DenseIndex(16, dtype=jax.numpy.float32, kernel="blockmax")
+    a.add(corpus)
+    a.build()
+    b = DenseIndex(16, dtype=jax.numpy.float32, kernel="pallas")
+    b.add(corpus)
+    b.build()
+    va, ia = a.search_embeddings(queries, k=8)
+    vb, ib = b.search_embeddings(queries, k=8)
+    np.testing.assert_allclose(vb, va, atol=1e-5)
+    for x, y in zip(ia, ib):
+        assert set(x) == set(y)
+
+
 def test_index_corpus_glue():
     import jax as _jax
     from sgpt_tpu.encoder import EmbeddingEngine
