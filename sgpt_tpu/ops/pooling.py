@@ -83,6 +83,19 @@ def last_token_mean_pool(all_hidden: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.mean(g.astype(jnp.float32), axis=0).astype(all_hidden.dtype)
 
 
+def token_weighted_mean_pool(hidden: jax.Array, mask: jax.Array,
+                             token_weights: jax.Array) -> jax.Array:
+    """Mean pool with per-TOKEN weights (ST models/WordWeights: e.g. idf values
+    looked up per input id — pass token_weights = weight_table[input_ids],
+    shape (B, T)). The reference's Pooling consumes this as
+    'token_weights_sum' (Pooling.py:116-119)."""
+    w = token_weights.astype(jnp.float32)[..., None]
+    h, m = _masked(hidden, mask)
+    mw = m * w
+    return (jnp.sum(h * w * m, axis=1)
+            / jnp.clip(jnp.sum(mw, axis=1), 1e-9)).astype(hidden.dtype)
+
+
 def weighted_layer_pool(all_hidden: jax.Array, mask: jax.Array,
                         layer_weights: jax.Array,
                         layer_start: int = 0) -> jax.Array:

@@ -77,6 +77,22 @@ def test_max_cls():
                                H[:, 0], rtol=1e-6)
 
 
+def test_token_weighted_mean():
+    from sgpt_tpu.ops.pooling import token_weighted_mean_pool
+    w = np.abs(rng.normal(size=(B, T))).astype(np.float32)
+    got = np.asarray(token_weighted_mean_pool(jnp.asarray(H), jnp.asarray(MASK),
+                                              jnp.asarray(w)))
+    m = MASK[:, :, None].astype(np.float64)
+    ww = w[:, :, None]
+    want = (H * ww * m).sum(1) / (m * ww).sum(1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # unit weights == plain mean
+    ones = jnp.ones((B, T), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(token_weighted_mean_pool(jnp.asarray(H), jnp.asarray(MASK), ones)),
+        np.asarray(mean_pool(jnp.asarray(H), jnp.asarray(MASK))), rtol=1e-5)
+
+
 def test_normalize_unit_norm():
     got = np.asarray(normalize(jnp.asarray(H[:, 0])))
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, rtol=1e-5)
