@@ -80,7 +80,8 @@ void evaluate_queries(int32_t n_queries, const int64_t* offsets,
 
       double* row = out + (static_cast<int64_t>(q) * n_ks + ki) * 6;
       row[0] = ideal > 0.0 ? dcg / ideal : 0.0;
-      row[1] = nrel > 0 ? ap / std::min(nrel, k) : 0.0;
+      // trec_eval map_cut: divide by TOTAL relevant, not min(nrel, k)
+      row[1] = nrel > 0 ? ap / nrel : 0.0;
       row[2] = nrel > 0 ? static_cast<double>(hits) / nrel : 0.0;
       row[3] = k > 0 ? static_cast<double>(hits) / k : 0.0;
       row[4] = mrr;

@@ -82,6 +82,12 @@ class CrossEncoderRanker:
             cont = self.tokenizer.encode(continuation)
             if not cont:
                 cont = [self.tokenizer.eos_id]
+            # the reference asserts this (sgptce.py:173); silently wrapping
+            # would scatter targets into wrong columns
+            if len(cont) > self.max_length:
+                raise ValueError(
+                    f"continuation has {len(cont)} tokens but max_length is "
+                    f"{self.max_length} (sgptce.py asserts the same bound)")
             enc.append((ctx, cont))
 
         # dedupe + length-descending order (Reorderer semantics)

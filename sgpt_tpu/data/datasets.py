@@ -86,12 +86,13 @@ class ParallelSentencesData:
 
 def denoise_text(text: str, del_ratio: float = 0.6,
                  rng: Optional[random.Random] = None) -> str:
-    """TSDAE deletion noise: keep each token with prob del_ratio, min 1 kept."""
+    """TSDAE deletion noise: DELETE each token with prob del_ratio (keep with
+    prob 1−del_ratio, the reference's `rand > del_ratio` keep rule); min 1 kept."""
     rng = rng or random
     words = text.split()
     if not words:
         return text
-    kept = [w for w in words if rng.random() < del_ratio]
+    kept = [w for w in words if rng.random() > del_ratio]
     if not kept:
         kept = [rng.choice(words)]
     return " ".join(kept)

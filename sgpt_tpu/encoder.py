@@ -224,12 +224,26 @@ class EmbeddingEngine:
         return self.encode(texts, is_query=False)
 
     # ------------------------------------------------------------------
+    def _params_fingerprint(self) -> str:
+        """Cheap identity for the weights (stale-cache guard when re-evaluating
+        updated checkpoints under the same model name): shapes + one small leaf."""
+        if not hasattr(self, "_fp"):
+            h = hashlib.sha1()
+            for leaf in jax.tree.leaves(self.params):
+                h.update(str(leaf.shape).encode())
+            probe = self.params.get("ln_f", {}).get("scale")
+            if probe is not None:
+                h.update(np.asarray(probe, np.float32).tobytes())
+            self._fp = h.hexdigest()[:12]
+        return self._fp
+
     def _cache_key(self, texts, is_query) -> Optional[str]:
         if not self.cache_dir:
             return None
         h = hashlib.sha1()
         h.update(f"{self.method}|{self.layeridx}|{self.codec.specb}|{is_query}|"
-                 f"{self.normalize}|{len(texts)}".encode())
+                 f"{self.normalize}|{self.codec.max_seq_len}|"
+                 f"{self._params_fingerprint()}|{len(texts)}".encode())
         for t in texts:  # cover every text (cheaply) — chunk-level resumability
             h.update(str(len(t)).encode())
             h.update(t[:64].encode())

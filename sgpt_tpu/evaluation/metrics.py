@@ -39,7 +39,10 @@ def ndcg_at_k(qrels: Qrels, results: Results, k: int) -> float:
 
 
 def map_at_k(qrels: Qrels, results: Results, k: int) -> float:
-    """Mean average precision at cutoff k (binary relevance: grade > 0)."""
+    """Mean average precision at cutoff k (binary relevance: grade > 0).
+
+    trec_eval map_cut semantics: the precision sum over the top-k is divided by
+    the TOTAL number of relevant docs, not min(n_rel, k)."""
     vals = []
     for qid, rel in qrels.items():
         pos = {d for d, g in rel.items() if g > 0}
@@ -51,7 +54,7 @@ def map_at_k(qrels: Qrels, results: Results, k: int) -> float:
             if d in pos:
                 hits += 1
                 ap += hits / (i + 1)
-        vals.append(ap / min(len(pos), k))
+        vals.append(ap / len(pos))
     return sum(vals) / max(len(vals), 1)
 
 

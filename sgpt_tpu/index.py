@@ -157,14 +157,21 @@ class DenseIndex:
     # ------------------------------------------------------------------
     def search_embeddings(self, query_embeddings, k: int = 10
                           ) -> Tuple[np.ndarray, List[List[str]]]:
-        """(scores (Q, k), doc-id lists). Queries normalized if the index is."""
-        q = jnp.asarray(np.asarray(query_embeddings, np.float32), self.dtype)
+        """(scores (Q, k'), doc-id lists). Queries normalized if the index is.
+        k' <= k: filler slots (fewer valid docs than k) are trimmed."""
+        q = np.asarray(query_embeddings, np.float32)
+        if self._count == 0:
+            return (np.zeros((len(q), 0), np.float32), [[] for _ in q])
+        qd = jnp.asarray(q, self.dtype)
         if self.normalize:
-            q = normalize(q)
-        k = min(k, max(self._count, 1))
-        vals, idx = self._search_fn(q, k)
+            qd = normalize(qd)
+        k = min(k, self._count)
+        vals, idx = self._search_fn(qd, k)
         vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
-        ids = [[self._ids[int(i)] for i in row] for row in idx]
+        # -inf filler slots (masked padding) carry index 0 — drop them
+        finite = vals > -1e29
+        ids = [[self._ids[int(i)] for i, ok in zip(row_i, row_f) if ok]
+               for row_i, row_f in zip(idx, finite)]
         return vals, ids
 
     def __len__(self) -> int:
@@ -182,7 +189,7 @@ def index_corpus(engine, corpus, *, mesh=None, batch_docs: int = 50_000,
     doc_ids = sorted(
         corpus, key=lambda d: len(corpus[d].get("title", "") + corpus[d].get("text", "")),
         reverse=True) if isinstance(corpus, dict) else list(range(len(corpus)))
-    get = (lambda d: corpus[d]) if isinstance(corpus, dict) else (lambda d: corpus[d])
+    get = corpus.__getitem__  # works for dict (by id) and list (by position)
 
     index = DenseIndex(engine.out_dim, mesh=mesh,
                        normalize_embeddings=normalize_embeddings, **index_kw)

@@ -199,11 +199,18 @@ def load_pretrained(name_or_path: str, family: str | None = None, dtype=jnp.floa
     """Load an HF checkpoint from a local path/cache (zero-egress friendly).
 
     Returns (params, cfg). Requires `transformers` + weights available locally.
+    Loads the *ForCausalLM head so untied LM heads (GPT-J: tie_word_embeddings
+    False) are kept — decoder.logits() would otherwise silently fall back to
+    the wte tie and cross-encoder scores would be wrong.
     """
-    from transformers import AutoConfig, AutoModel
+    from transformers import AutoConfig, AutoModelForCausalLM
     family = family or guess_family(name_or_path)
     hf_cfg = AutoConfig.from_pretrained(name_or_path)
     cfg = config_from_hf(hf_cfg, family)
-    model = AutoModel.from_pretrained(name_or_path)
-    params = convert_hf_state_dict(model.state_dict(), cfg, family, dtype=dtype)
+    model = AutoModelForCausalLM.from_pretrained(name_or_path)
+    sd = dict(model.state_dict())
+    if getattr(hf_cfg, "tie_word_embeddings", True):
+        sd.pop("lm_head.weight", None)  # tied: logits() uses wte directly
+        sd.pop("lm_head.bias", None)
+    params = convert_hf_state_dict(sd, cfg, family, dtype=dtype)
     return params, cfg

@@ -42,7 +42,7 @@ class SimpleTokenizer:
 
     def encode(self, text: str) -> List[int]:
         out = []
-        for word in text.replace("\n", " ").split():
+        for word in text.split():
             h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "little")
             out.append(self.N_RESERVED + h % (self.vocab_size - self.N_RESERVED))
         return out
@@ -68,7 +68,11 @@ class HFTokenizer:
         self.pad_id = self.tok.pad_token_id
 
     def encode(self, text: str) -> List[int]:
-        tokens = self.tok.tokenize(text.replace("\n", " "))
+        # NOTE: verbatim — no newline munging here. The cross-encoder prompts
+        # contain literal \n that must tokenize exactly (sgptce.py:74); the
+        # bi-encoder path's newline→space cleanup happens in SpecbCodec.encode
+        # (matching where the reference does it, beir_dense_retriever.py:170).
+        tokens = self.tok.tokenize(text)
         return self.tok.convert_tokens_to_ids(tokens)
 
     def bracket_ids(self, bracket: str) -> List[int]:

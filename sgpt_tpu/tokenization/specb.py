@@ -68,7 +68,9 @@ class SpecbCodec:
         rows: List[List[int]] = []
         n_trunc = toks_trunc = 0
         for txt in texts:
-            ids = self.tokenizer.encode(txt)
+            # OpenAI-docs cleanup the reference applies in its embed path
+            # (beir_dense_retriever.py:170): newlines become spaces
+            ids = self.tokenizer.encode(txt.replace("\n", " "))
             if len(ids) > budget:
                 n_trunc += 1
                 toks_trunc += len(ids) - budget

@@ -21,6 +21,40 @@ def _as_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# npz fallback: flatten trees of dicts/lists/tuples to path-keyed arrays so
+# restore needs no structural template. List indices are tagged '#i'.
+def _flatten_paths(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for key in tree:
+            out.update(_flatten_paths(tree[key], f"{prefix}{key}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, item in enumerate(tree):
+            out.update(_flatten_paths(item, f"{prefix}#{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_paths(flat):
+    root: dict = {}
+    for path, value in flat.items():
+        node = root
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    def rebuild(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.startswith("#") for k in node):
+            return [rebuild(node[f"#{i}"]) for i in range(len(node))]
+        return {k: rebuild(v) for k, v in node.items()}
+
+    return rebuild(root)
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     step: Optional[int] = None, metadata: Optional[dict] = None):
     """Save params (+optional opt state) under `path`. Orbax if usable, else npz."""
@@ -34,12 +68,9 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                 ckptr.save(os.path.join(os.path.abspath(path), "opt_state"),
                            _as_numpy_tree(opt_state), force=True)
         backend = "orbax"
-    except Exception:  # orbax unavailable/failed → flat npz fallback
-        flat, treedef = jax.tree_util.tree_flatten(_as_numpy_tree(params))
+    except Exception:  # orbax unavailable/failed → path-keyed npz fallback
         np.savez(os.path.join(path, "params.npz"),
-                 **{str(i): a for i, a in enumerate(flat)})
-        with open(os.path.join(path, "treedef.txt"), "w") as f:
-            f.write(str(treedef))
+                 **_flatten_paths(_as_numpy_tree(params)))
         backend = "npz"
     meta = {"step": step, "backend": backend, **(metadata or {})}
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -55,11 +86,8 @@ def load_checkpoint(path: str, like_params: Any = None) -> Any:
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(os.path.join(os.path.abspath(path), "params"))
     data = np.load(os.path.join(path, "params.npz"))
-    flat = [data[str(i)] for i in range(len(data.files))]
-    if like_params is None:
-        raise ValueError("npz restore requires like_params for the tree structure")
-    treedef = jax.tree_util.tree_structure(like_params)
-    return jax.tree_util.tree_unflatten(treedef, flat)
+    del like_params  # path-keyed npz needs no structural template
+    return _unflatten_paths({k: data[k] for k in data.files})
 
 
 def prune_checkpoints(root: str, keep: int):

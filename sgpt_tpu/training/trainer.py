@@ -88,6 +88,7 @@ class ContrastiveTrainer:
         self.params = params
         self.best_score = -1e9
         self.best_params = None
+        self.best_aux = None
         self._step_fn = None
         self._opt = None
 
@@ -264,6 +265,7 @@ class ContrastiveTrainer:
 
         return {"params": self.params, "aux": self.aux,
                 "best_params": self.best_params or self.params,
+                "best_aux": self.best_aux or self.aux,  # paired snapshot
                 "best_score": self.best_score, "history": history}
 
     def export_model(self, tokenizer_name: Optional[str] = None):
@@ -292,6 +294,7 @@ class ContrastiveTrainer:
         if score > self.best_score:  # best-model save (ST fit :861-876)
             self.best_score = score
             self.best_params = jax.tree.map(lambda x: x, self.params)
+            self.best_aux = jax.tree.map(lambda x: x, self.aux)
             if self.tc.output_dir:
                 self.save_model(os.path.join(self.tc.output_dir, "best"))
 
