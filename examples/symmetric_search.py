@@ -1,8 +1,8 @@
 """Symmetric semantic search — the reference README's first usage example
 (README.md:92-149) in sgpt_tpu form.
 
-Runs offline with --randominit (hash tokenizer + random weights, for wiring
-demos); point --model at a local SGPT checkpoint for real embeddings.
+Runs offline by default (--model tiny: hash tokenizer + random weights, for
+wiring demos); point --model at a local SGPT checkpoint for real embeddings.
 """
 import argparse
 import os

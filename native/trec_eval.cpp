@@ -6,8 +6,9 @@
 // docs); Python dict/sort work is ~30x slower. Exposed via a C ABI for ctypes.
 //
 // Metrics per (query, k): nDCG@k, MAP@k, Recall@k, Precision@k, MRR@k, Acc@k —
-// trec_eval conventions (graded gains for nDCG, binary grade>0 elsewhere,
-// log2(rank+1) discount, MAP normalized by min(n_relevant, k)).
+// trec_eval conventions (graded gains for nDCG with negative grades clamped
+// to 0, binary grade>0 elsewhere, log2(rank+1) discount, MAP normalized by
+// the TOTAL relevant count — map_cut semantics).
 //
 // Build: make -C native  (g++ -O3 -shared -fPIC)
 
@@ -86,29 +87,6 @@ void evaluate_queries(int32_t n_queries, const int64_t* offsets,
       row[3] = k > 0 ? static_cast<double>(hits) / k : 0.0;
       row[4] = mrr;
       row[5] = hits > 0 ? 1.0 : 0.0;
-    }
-  }
-}
-
-// Merge running per-query top-k with a new candidate batch (DenseRetriever's
-// host-side merge, replacing the reference's heapq prune, exact_search.py:121).
-// a_vals/a_idx: [n_q * k] running; b_vals/b_idx: [n_q * m] new; results
-// written back into a_vals/a_idx (desc order).
-void merge_topk(int32_t n_q, int32_t k, int32_t m, float* a_vals,
-                int64_t* a_idx, const float* b_vals, const int64_t* b_idx) {
-  std::vector<std::pair<float, int64_t>> buf;
-  buf.reserve(k + m);
-  for (int32_t q = 0; q < n_q; ++q) {
-    buf.clear();
-    for (int32_t i = 0; i < k; ++i)
-      buf.emplace_back(a_vals[q * k + i], a_idx[q * k + i]);
-    for (int32_t i = 0; i < m; ++i)
-      buf.emplace_back(b_vals[q * m + i], b_idx[q * m + i]);
-    std::stable_sort(buf.begin(), buf.end(),
-                     [](const auto& x, const auto& y) { return x.first > y.first; });
-    for (int32_t i = 0; i < k; ++i) {
-      a_vals[q * k + i] = buf[i].first;
-      a_idx[q * k + i] = buf[i].second;
     }
   }
 }

@@ -25,14 +25,15 @@ def dcg(gains: Sequence[float]) -> float:
 
 
 def ndcg_at_k(qrels: Qrels, results: Results, k: int) -> float:
-    """trec_eval ndcg_cut.k: graded gains, log2 discount from rank 1."""
+    """trec_eval ndcg_cut.k: graded gains (negative judgments clamp to 0 gain,
+    keeping parity with the native engine), log2 discount from rank 1."""
     vals = []
     for qid, rel in qrels.items():
         pos = {d: g for d, g in rel.items() if g > 0}
         if not pos:
             continue
         ranked = _ranked_docs(results.get(qid, {}), k)
-        got = dcg([rel.get(d, 0) for d in ranked])
+        got = dcg([max(rel.get(d, 0), 0) for d in ranked])
         ideal = dcg(sorted(pos.values(), reverse=True)[:k])
         vals.append(got / ideal if ideal > 0 else 0.0)
     return sum(vals) / max(len(vals), 1)

@@ -2,7 +2,12 @@
 
 Compiles on first use (g++ via native/Makefile) and falls back to the pure-
 Python metrics if unavailable. `evaluate_retrieval_native` mirrors
-metrics.evaluate_retrieval's output exactly; `available()` gates usage.
+metrics.evaluate_retrieval's output; `available()` gates usage.
+
+Known parity caveat: scores cross the C ABI as float32, so two docs whose
+float64 scores differ only below float32 precision tie here (resolving to
+doc-id order) while the Python path ranks them by the sub-ulp difference —
+irrelevant for real similarity scores, visible only in adversarial unit tests.
 """
 from __future__ import annotations
 
