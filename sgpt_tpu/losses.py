@@ -144,3 +144,22 @@ def cosine_similarity_loss(u, v, labels) -> jax.Array:
     from .ops.similarity import _norm
     pred = jnp.sum(_norm(u) * _norm(v), axis=-1)
     return jnp.mean(jnp.square(pred - labels.astype(jnp.float32)))
+
+
+def megabatch_margin_loss(anchors, positives, *, positive_margin: float = 0.8,
+                          negative_margin: float = 0.3) -> jax.Array:
+    """MegaBatchMarginLoss (ParaNMT): each anchor's hardest in-batch negative is
+    the most-similar OTHER positive; loss = relu(pos_margin − cos(a, p))
+    + relu(cos(a, hardest_neg) − neg_margin). Hardest-negative selection is
+    non-differentiated (the reference picks it under no_grad)."""
+    from .ops.similarity import cos_sim
+    n = anchors.shape[0]
+    scores = cos_sim(anchors, positives)                      # (n, n)
+    neg_scores = scores - 2.0 * jnp.eye(n, dtype=scores.dtype)
+    hard_ids = jax.lax.stop_gradient(jnp.argmax(neg_scores, axis=1))
+    hard_negs = positives[hard_ids]
+    from .ops.similarity import pairwise_cos_sim
+    pos_cos = pairwise_cos_sim(anchors, positives)
+    neg_cos = pairwise_cos_sim(anchors, hard_negs)
+    return jnp.mean(jnp.maximum(positive_margin - pos_cos, 0.0)
+                    + jnp.maximum(neg_cos - negative_margin, 0.0))

@@ -66,6 +66,19 @@ def test_cosine_similarity_loss():
     assert float(cosine_similarity_loss(U, U, labels)) < 1e-10
 
 
+def test_megabatch_margin_loss():
+    from sgpt_tpu.losses import megabatch_margin_loss
+    # well-separated pairs: cos(a_i, p_i)=1, cos(a_i, p_j)=0 → zero loss
+    eye = jnp.eye(6, 8, dtype=jnp.float32)
+    loss = megabatch_margin_loss(eye, eye, positive_margin=0.8,
+                                 negative_margin=0.3)
+    assert float(loss) == 0.0
+    # identical positives: hardest negative == positive → neg term fires
+    same = jnp.ones((4, 8), jnp.float32)
+    loss2 = megabatch_margin_loss(same, same)
+    assert float(loss2) > 0.5
+
+
 # ---------------------------------------------------------------------------
 
 VOCAB = {}
