@@ -128,8 +128,10 @@ class CrossEncoderTrainable:
         B = self.batch_size
         for epoch in range(epochs):
             rng.shuffle(samples)
-            for s in range(0, len(samples) - B + 1, B):
+            for s in range(0, len(samples), B):
                 batch = samples[s : s + B]
+                if len(batch) < B:  # partial batch: pad with repeats (static shapes)
+                    batch = batch + samples[: B - len(batch)]
                 ids, mask = self._tokenize_pairs(
                     [tuple(ex.texts[:2]) for ex in batch],
                     pad_to=self.max_length)
@@ -169,6 +171,8 @@ class CEBinaryClassificationEvaluator:
         pred = model.predict(self.pairs)
         pred = pred if pred.ndim == 1 else pred[:, -1]
         best = 0.0
-        for t in np.unique(pred):
+        # include a threshold above max(pred): the all-negative classification
+        thresholds = np.concatenate([np.unique(pred), [pred.max() + 1.0]])
+        for t in thresholds:
             best = max(best, float(np.mean((pred >= t).astype(int) == self.labels)))
         return best

@@ -49,6 +49,10 @@ class DenseIndex:
 
     # ------------------------------------------------------------------
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
+        if self._corpus is not None:
+            raise RuntimeError(
+                "add() after build(): built vectors were consumed — create a "
+                "new DenseIndex (incremental growth is a future extension)")
         emb = np.asarray(embeddings, np.float32)
         if self.normalize:
             emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True),
@@ -65,6 +69,8 @@ class DenseIndex:
                                block_size: int = 128) -> "DenseIndex":
         """Wrap an already-on-device (N, D) embedding array (no host copy)."""
         n, dim = corpus.shape
+        if normalize_embeddings:
+            corpus = normalize(corpus)  # on device; queries normalize at search
         idx = cls(dim, mesh=mesh, normalize_embeddings=normalize_embeddings,
                   block_size=block_size, dtype=corpus.dtype)
         idx._count = n
@@ -168,11 +174,15 @@ class DenseIndex:
         k = min(k, self._count)
         vals, idx = self._search_fn(qd, k)
         vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
-        # -inf filler slots (masked padding) carry index 0 — drop them
+        # -inf filler slots (masked padding) carry index 0 — trim scores AND
+        # ids together so row-wise zip stays aligned
         finite = vals > -1e29
         ids = [[self._ids[int(i)] for i, ok in zip(row_i, row_f) if ok]
                for row_i, row_f in zip(idx, finite)]
-        return vals, ids
+        if finite.all():
+            return vals, ids
+        trimmed = [row_v[row_f] for row_v, row_f in zip(vals, finite)]
+        return trimmed, ids
 
     def __len__(self) -> int:
         return self._count

@@ -17,9 +17,14 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
-def to_hf_state_dict(params: dict, cfg: DecoderConfig, family: str
-                     ) -> Dict[str, np.ndarray]:
-    """Returns {hf_param_name: numpy array} ([out,in] torch layout)."""
+def to_hf_state_dict(params: dict, cfg: DecoderConfig, family: str,
+                     style: str = "auto") -> Dict[str, np.ndarray]:
+    """Returns {hf_param_name: numpy array} ([out,in] torch layout).
+
+    style: 'base' (GPTNeoModel-style flat keys), 'causal_lm' (body under
+    'transformer.' with lm_head at top level — what *ForCausalLM.from_pretrained
+    expects, REQUIRED for untied heads like GPT-J's), or 'auto' (causal_lm iff
+    an lm_head is present)."""
     L = cfg.num_layers
     H, Dh, D = cfg.num_heads, cfg.head_size, cfg.hidden_size
     layers = params["layers"]
@@ -95,6 +100,14 @@ def to_hf_state_dict(params: dict, cfg: DecoderConfig, family: str
 
     sd["ln_f.weight"] = _np(params["ln_f"]["scale"])
     sd["ln_f.bias"] = _np(params["ln_f"]["bias"])
+
+    if style == "auto":
+        style = "causal_lm" if "lm_head" in params else "base"
+    if style == "causal_lm":
+        # HF *ForCausalLM checkpoints keep the body under 'transformer.' and
+        # the head at top level; a flat dict would load as base-model-only and
+        # silently DROP an untied lm_head
+        sd = {f"transformer.{k}": v for k, v in sd.items()}
     if "lm_head" in params:
         sd["lm_head.weight"] = _np(params["lm_head"]["w"]).T
         if "b" in params["lm_head"]:
@@ -106,7 +119,8 @@ def D_out(H: int, Dh: int) -> int:
     return H * Dh
 
 
-def save_hf_checkpoint(path: str, params: dict, cfg: DecoderConfig, family: str):
+def save_hf_checkpoint(path: str, params: dict, cfg: DecoderConfig, family: str,
+                       style: str = "auto"):
     """Write a torch-loadable pytorch_model.bin (requires torch)."""
     import os
 
@@ -114,5 +128,5 @@ def save_hf_checkpoint(path: str, params: dict, cfg: DecoderConfig, family: str)
 
     os.makedirs(path, exist_ok=True)
     sd = {k: torch.from_numpy(v.copy()) for k, v in
-          to_hf_state_dict(params, cfg, family).items()}
+          to_hf_state_dict(params, cfg, family, style=style).items()}
     torch.save(sd, os.path.join(path, "pytorch_model.bin"))

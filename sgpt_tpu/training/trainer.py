@@ -119,8 +119,11 @@ class ContrastiveTrainer:
     # ------------------------------------------------------------------
     def _build_optimizer(self, total_steps: int):
         tc = self.tc
+        # MultiSteps advances the inner schedule once per OPTIMIZER step, so
+        # the horizon must be in optimizer steps, not micro-steps
+        opt_steps = max(1, total_steps // max(tc.grad_accum, 1))
         schedule = make_schedule(tc.scheduler, tc.lr,
-                                 int(tc.warmup_ratio * total_steps), total_steps)
+                                 int(tc.warmup_ratio * opt_steps), opt_steps)
 
         tree = {"model": self.params, "aux": self.aux}
         # no weight decay on bias/LayerNorm/position-weight leaves (ST :729-733)
@@ -151,9 +154,13 @@ class ContrastiveTrainer:
         from ..ops.pooling import learned_weighted_mean_pool
 
         cfg, method = self.cfg, self.tc.pooling
+        learned = method == "learned_weightedmean"
+        if not learned and method not in POOLERS:
+            raise ValueError(
+                f"pooling {method!r} not trainable here; choose one of "
+                f"{sorted(POOLERS)} or 'learned_weightedmean'")
         pooler = POOLERS.get(method, weighted_mean_pool)
         head_meta = list(self._head_meta)
-        learned = method == "learned_weightedmean"
 
         def encode(tree, chunk):
             h = forward(tree["model"], chunk["ids"], chunk["mask"], cfg)
@@ -242,6 +249,7 @@ class ContrastiveTrainer:
 
         history: List[dict] = []
         gstep = 0
+        last_eval_step = -1
         for epoch in range(tc.epochs):
             t0 = time.time()
             for batch in train_batches():
@@ -251,18 +259,24 @@ class ContrastiveTrainer:
                 gstep += 1
                 if gstep % max(1, steps_per_epoch // 10) == 0:
                     logger.info("epoch %d step %d loss %.4f", epoch, gstep, float(loss))
-                record = {"step": gstep, "loss": float(loss)}
+                # keep the device scalar: float() here would sync the host every
+                # micro-step; history is materialized once at the end
+                record = {"step": gstep, "loss": loss}
                 history.append(record)
                 if tc.log_fn:
-                    tc.log_fn(record)
+                    tc.log_fn({"step": gstep, "loss": float(loss)})
                 if evaluator and tc.eval_steps and gstep % tc.eval_steps == 0:
                     self._evaluate(evaluator, gstep, history)
+                    last_eval_step = gstep
                 if tc.checkpoint_steps and gstep % tc.checkpoint_steps == 0:
                     self.save_checkpoint(gstep, opt_state)
-            if evaluator:
+            if evaluator and gstep != last_eval_step:  # skip back-to-back dup
                 self._evaluate(evaluator, gstep, history)
+                last_eval_step = gstep
             logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
 
+        history = [{**h, "loss": float(h["loss"])} if "loss" in h else h
+                   for h in history]
         return {"params": self.params, "aux": self.aux,
                 "best_params": self.best_params or self.params,
                 "best_aux": self.best_aux or self.aux,  # paired snapshot

@@ -22,6 +22,20 @@ def test_roundtrip_exact(family):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_causal_lm_style_roundtrips_untied_head():
+    cfg = tiny("gptj", num_layers=2, hidden_size=32, num_heads=4, vocab_size=64)
+    params = init_params(cfg, jax.random.key(2))
+    params["lm_head"] = {"w": jax.random.normal(jax.random.key(3),
+                                                (32, 64), "float32")}
+    sd = to_hf_state_dict(params, cfg, "gptj")  # auto → causal_lm
+    assert "lm_head.weight" in sd
+    assert all(k == "lm_head.weight" or k.startswith("transformer.")
+               for k in sd)
+    back = convert_hf_state_dict(sd, cfg, "gptj")
+    np.testing.assert_allclose(np.asarray(back["lm_head"]["w"]),
+                               np.asarray(params["lm_head"]["w"]), atol=1e-7)
+
+
 def test_export_loads_into_hf_model():
     from transformers import GPTNeoConfig, GPTNeoModel
 
