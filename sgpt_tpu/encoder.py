@@ -226,14 +226,20 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
     def _params_fingerprint(self) -> str:
         """Cheap identity for the weights (stale-cache guard when re-evaluating
-        updated checkpoints under the same model name): shapes + one small leaf."""
+        updated checkpoints under the same model name).
+
+        Hashes shapes plus a small deterministic value sample from EVERY leaf —
+        bias leaves included, so two BitFit checkpoints (bias-only updates,
+        the reference's --freezenonbias headline mode) never collide."""
         if not hasattr(self, "_fp"):
             h = hashlib.sha1()
+            samples = []
             for leaf in jax.tree.leaves(self.params):
                 h.update(str(leaf.shape).encode())
-            probe = self.params.get("ln_f", {}).get("scale")
-            if probe is not None:
-                h.update(np.asarray(probe, np.float32).tobytes())
+                # slice on device, fetch only 16 elements per leaf
+                samples.append(jnp.ravel(leaf)[:16].astype(jnp.float32))
+            for s in jax.device_get(samples):
+                h.update(np.asarray(s).tobytes())
             self._fp = h.hexdigest()[:12]
         return self._fp
 
@@ -244,9 +250,9 @@ class EmbeddingEngine:
         h.update(f"{self.method}|{self.layeridx}|{self.codec.specb}|{is_query}|"
                  f"{self.normalize}|{self.codec.max_seq_len}|"
                  f"{self._params_fingerprint()}|{len(texts)}".encode())
-        for t in texts:  # cover every text (cheaply) — chunk-level resumability
-            h.update(str(len(t)).encode())
-            h.update(t[:64].encode())
+        for t in texts:  # full-text coverage — templated corpora sharing long
+            h.update(str(len(t)).encode())  # prefixes must not collide
+            h.update(t.encode())
         return os.path.join(self.cache_dir, h.hexdigest() + ".npy")
 
     def _cache_load(self, texts, is_query):

@@ -65,7 +65,9 @@ class InformationRetrievalEvaluator:
         for k in self.ndcg_at:
             out[f"ndcg@{k}"] = ndcg_at_k(qrels, results, k)
         for k in self.map_at:
-            out[f"map@{k}"] = map_at_k(qrels, results, k)
+            # ST parity: InformationRetrievalEvaluator divides AP by
+            # min(k, n_rel), not trec_eval's total-relevant count
+            out[f"map@{k}"] = map_at_k(qrels, results, k, divide_by="min_k_rel")
         logger.info("IR%s: %s=%.4f", f"[{self.name}]" if self.name else "",
                     self.main_metric, out[self.main_metric])
         return out

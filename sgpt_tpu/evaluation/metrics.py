@@ -39,11 +39,14 @@ def ndcg_at_k(qrels: Qrels, results: Results, k: int) -> float:
     return sum(vals) / max(len(vals), 1)
 
 
-def map_at_k(qrels: Qrels, results: Results, k: int) -> float:
+def map_at_k(qrels: Qrels, results: Results, k: int, *,
+             divide_by: str = "num_rel") -> float:
     """Mean average precision at cutoff k (binary relevance: grade > 0).
 
-    trec_eval map_cut semantics: the precision sum over the top-k is divided by
-    the TOTAL number of relevant docs, not min(n_rel, k)."""
+    divide_by='num_rel' — trec_eval map_cut semantics: the precision sum over
+    the top-k is divided by the TOTAL number of relevant docs (BEIR/trec path).
+    divide_by='min_k_rel' — ST's InformationRetrievalEvaluator semantics
+    (divide by min(k, n_rel), InformationRetrievalEvaluator.py:204-218)."""
     vals = []
     for qid, rel in qrels.items():
         pos = {d for d, g in rel.items() if g > 0}
@@ -55,7 +58,8 @@ def map_at_k(qrels: Qrels, results: Results, k: int) -> float:
             if d in pos:
                 hits += 1
                 ap += hits / (i + 1)
-        vals.append(ap / len(pos))
+        denom = min(k, len(pos)) if divide_by == "min_k_rel" else len(pos)
+        vals.append(ap / denom)
     return sum(vals) / max(len(vals), 1)
 
 

@@ -162,12 +162,16 @@ class DenseIndex:
 
     # ------------------------------------------------------------------
     def search_embeddings(self, query_embeddings, k: int = 10
-                          ) -> Tuple[np.ndarray, List[List[str]]]:
-        """(scores (Q, k'), doc-id lists). Queries normalized if the index is.
-        k' <= k: filler slots (fewer valid docs than k) are trimmed."""
+                          ) -> Tuple[List[np.ndarray], List[List[str]]]:
+        """(per-query score arrays, per-query doc-id lists), original order.
+
+        The scores are ALWAYS a list of 1-D float32 arrays (row q aligned with
+        ids[q]); rows may be shorter than k when the index holds fewer valid
+        docs. A consistent ragged return beats an ndarray that silently turns
+        into a list on the rare under-filled-index case."""
         q = np.asarray(query_embeddings, np.float32)
         if self._count == 0:
-            return (np.zeros((len(q), 0), np.float32), [[] for _ in q])
+            return ([np.zeros((0,), np.float32) for _ in q], [[] for _ in q])
         qd = jnp.asarray(q, self.dtype)
         if self.normalize:
             qd = normalize(qd)
@@ -179,10 +183,7 @@ class DenseIndex:
         finite = vals > -1e29
         ids = [[self._ids[int(i)] for i, ok in zip(row_i, row_f) if ok]
                for row_i, row_f in zip(idx, finite)]
-        if finite.all():
-            return vals, ids
-        trimmed = [row_v[row_f] for row_v, row_f in zip(vals, finite)]
-        return trimmed, ids
+        return [row_v[row_f] for row_v, row_f in zip(vals, finite)], ids
 
     def __len__(self) -> int:
         return self._count
