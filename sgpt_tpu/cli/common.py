@@ -12,6 +12,12 @@ def setup_logging():
     logging.basicConfig(
         format="%(asctime)s - %(message)s", datefmt="%Y-%m-%d %H:%M:%S",
         level=logging.INFO)
+    # Honor an explicit JAX_PLATFORMS even when a hardware-plugin
+    # sitecustomize re-pointed jax at its backend before main() ran
+    # (same counter-override as tests/conftest.py).
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def add_mesh_args(parser):
@@ -24,9 +30,15 @@ def add_mesh_args(parser):
 
 
 def build_mesh(args):
-    """Mesh from --dp/--tp flags; None for the trivial 1-device case."""
+    """Mesh from --dp/--tp flags; None for the trivial 1-device case.
+
+    dp=1, tp=1 is an explicit single-device request (the train CLIs default to
+    it — multi-device training is opt-in, like the reference only going DDP
+    under `accelerate launch`); dp=-1 means all devices."""
     import jax
-    if args.tp == 1 and (args.dp in (-1, 1)) and jax.device_count() == 1:
+    if args.tp == 1 and args.dp == 1:
+        return None
+    if args.tp == 1 and args.dp == -1 and jax.device_count() == 1:
         return None
     from ..parallel import make_mesh
     return make_mesh(dp=args.dp, tp=args.tp)

@@ -14,7 +14,7 @@ import gzip
 import json
 import logging
 
-from .common import build_model, setup_logging
+from .common import add_mesh_args, build_mesh, build_model, setup_logging
 
 logger = logging.getLogger(__name__)
 
@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--model_save_path", default="output/msmarco")
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    add_mesh_args(p)  # --dp/--tp: multi-device fit (replaces accelerate launch)
+    p.set_defaults(dp=1)  # multi-device training is opt-in (--dp -1 = all)
     # final dev-set IR eval (train_bi-encoder_mnrl.py:520-527): expects
     # dev-queries.tsv + dev-qrels.tsv (qid\tpid) in data_folder
     p.add_argument("--eval_dev", action="store_true")
@@ -113,7 +115,8 @@ def main(args=None):
         output_dir=args.model_save_path, seed=args.seed,
         checkpoint_steps=max(1, len(dataset) // args.train_batch_size),  # per epoch
     )
-    trainer = ContrastiveTrainer(params, cfg, tokenizer, tc)
+    trainer = ContrastiveTrainer(params, cfg, tokenizer, tc,
+                                 mesh=build_mesh(args))
 
     B = args.train_batch_size
 

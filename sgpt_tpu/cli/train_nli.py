@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 import logging
 
-from .common import build_model, setup_logging
+from .common import add_mesh_args, build_mesh, build_model, setup_logging
 
 logger = logging.getLogger(__name__)
 
@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--model_save_path", default="output/nli")
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    add_mesh_args(p)  # --dp/--tp: multi-device fit (replaces accelerate launch)
+    p.set_defaults(dp=1)  # multi-device training is opt-in (--dp -1 = all)
     return p.parse_args()
 
 
@@ -84,7 +86,8 @@ def main(args=None):
         dense_heads=dense_heads,
         eval_steps=max(1, len(batcher) // 10),  # eval every 10% (ref :188-202)
     )
-    trainer = ContrastiveTrainer(params, cfg, tokenizer, tc)
+    trainer = ContrastiveTrainer(params, cfg, tokenizer, tc,
+                                 mesh=build_mesh(args))
 
     evaluator = None
     if args.stsb_path:

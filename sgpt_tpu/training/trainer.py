@@ -79,13 +79,32 @@ class TrainConfig:
 
 class ContrastiveTrainer:
     def __init__(self, params, cfg: DecoderConfig, tokenizer: Tokenizer,
-                 train_config: TrainConfig):
+                 train_config: TrainConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('dp','tp') axes. Batches are
+        sharded over dp, params Megatron-TP-sharded over tp (parallel/sharding
+        .py) — the single-controller replacement for the reference's 8-GPU
+        Accelerate fit (SentenceTransformer.py:691-741). The computed loss and
+        updates are EXACTLY the single-device ones: jit inserts the in-batch
+        negatives all-gather from the sharding annotations."""
         self.cfg = cfg
         self.tc = train_config
         self.tokenizer = tokenizer
         self.codec = SpecbCodec(tokenizer, max_seq_len=train_config.max_seq_len,
                                 specb=train_config.specb)
+        self.mesh = mesh
         self.params = params
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import shard_params
+            dp = mesh.shape["dp"]
+            if train_config.use_gradcache and train_config.chunk_size % dp:
+                raise ValueError(
+                    f"gradcache chunk_size={train_config.chunk_size} must be "
+                    f"divisible by dp={dp} (chunks shard over the dp axis)")
+            self.params = shard_params(params, mesh)
+            self._replicated = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P("dp", None))
+            self._chunk_sharding = NamedSharding(mesh, P(None, "dp", None))
         self.best_score = -1e9
         self.best_params = None
         self.best_aux = None
@@ -115,6 +134,9 @@ class ContrastiveTrainer:
                     {"activation": spec.get("activation", "identity"),
                      "location": spec.get("location", "post_pool")})
             self.aux["heads"] = heads
+        if mesh is not None and self.aux:
+            self.aux = jax.tree.map(
+                lambda x: jax.device_put(x, self._replicated), self.aux)
 
     # ------------------------------------------------------------------
     def _build_optimizer(self, total_steps: int):
@@ -218,17 +240,42 @@ class ContrastiveTrainer:
     def _tokenize_tower(self, texts: Sequence[str], is_query: bool):
         enc = self.codec.encode(list(texts), is_query=is_query,
                                 pad_to=self.tc.max_seq_len)
-        return {"ids": jnp.asarray(enc.input_ids),
-                "mask": jnp.asarray(enc.attention_mask)}
+        return {"ids": np.asarray(enc.input_ids),
+                "mask": np.asarray(enc.attention_mask)}
 
     def _prep_batch(self, batch: Sequence[Tuple[str, ...]]):
-        """batch of (anchor, positive[, negative]) → tower dicts."""
+        """batch of (anchor, positive[, negative]) → tower dicts.
+
+        Returns None for a ragged tail batch too small to keep: static shapes
+        are the TPU contract, so tails are trimmed to the dp/chunk granularity
+        (the reference's DataLoader drop_last analog)."""
+        batch = list(batch)
+        granularity = 1
+        if self.tc.use_gradcache:
+            granularity = self.tc.chunk_size
+        if self.mesh is not None:
+            granularity = max(granularity, self.mesh.shape["dp"])
+        keep = len(batch) - len(batch) % granularity
+        if keep != len(batch):
+            logger.warning("trimming ragged tail batch %d -> %d "
+                           "(granularity %d)", len(batch), keep, granularity)
+            if keep == 0:
+                return None
+            batch = batch[:keep]
         cols = list(zip(*batch))
         towers = [self._tokenize_tower(cols[0], is_query=True)]
         for c in cols[1:]:
             towers.append(self._tokenize_tower(c, is_query=False))
         if self.tc.use_gradcache:
             towers = [chunk_tree(t, self.tc.chunk_size) for t in towers]
+        if self.mesh is not None:
+            sh = (self._chunk_sharding if self.tc.use_gradcache
+                  else self._batch_sharding)
+            towers = [jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), sh), t)
+                for t in towers]
+        else:
+            towers = [jax.tree.map(jnp.asarray, t) for t in towers]
         return towers
 
     # ------------------------------------------------------------------
@@ -254,6 +301,8 @@ class ContrastiveTrainer:
             t0 = time.time()
             for batch in train_batches():
                 towers = self._prep_batch(batch)
+                if towers is None:  # ragged tail smaller than the granularity
+                    continue
                 tree, opt_state, loss = step_fn(tree, opt_state, *towers)
                 self.params, self.aux = tree["model"], tree["aux"]
                 gstep += 1

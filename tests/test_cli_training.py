@@ -43,6 +43,28 @@ def test_train_nli_cli(tmp_path, monkeypatch):
     assert (tmp_path / "out" / "meta.json").exists()
 
 
+def test_train_nli_cli_mesh(tmp_path, monkeypatch):
+    """--dp/--tp reaches multi-device training through the real CLI."""
+    from sgpt_tpu.cli import train_nli
+    monkeypatch.setattr(train_nli, "build_model", _fake_build)
+    monkeypatch.chdir(tmp_path)
+
+    with gzip.open(tmp_path / "AllNLI.tsv.gz", "wt") as f:
+        f.write("split\tsentence1\tsentence2\tlabel\n")
+        for i in range(16):
+            f.write(f"train\tpremise {i}\tentailed {i}\tentailment\n")
+            f.write(f"train\tpremise {i}\tcontradicted {i}\tcontradiction\n")
+
+    sys.argv = ["x", "--model_name", "tiny", "--randominit",
+                "--nli_path", str(tmp_path / "AllNLI.tsv.gz"),
+                "--train_batch_size", "8", "--max_seq_length", "16",
+                "--num_epochs", "1", "--lr", "1e-3", "--freezenonbias",
+                "--dp", "4", "--tp", "2",
+                "--model_save_path", str(tmp_path / "out_mesh")]
+    train_nli.main()
+    assert (tmp_path / "out_mesh" / "meta.json").exists()
+
+
 def test_train_msmarco_cli(tmp_path, monkeypatch):
     from sgpt_tpu.cli import train_msmarco
     monkeypatch.setattr(train_msmarco, "build_model", _fake_build)
