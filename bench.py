@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
     {"metric": "embeddings_per_sec_per_chip", "value": N, "unit": "emb/s",
-     "vs_baseline": N}
+     "vs_baseline": N, "mfu": N, "tile_peak_tflops": N, "achieved_tflops": N}
 
 Setup mirrors the reference's BEIR encode hot loop
 (biencoder/beir/beir_dense_retriever.py:225-306): GPT-Neo-125M architecture,
@@ -10,17 +10,24 @@ sequence length 304 (the BEIR/specb training length rounded to sublane), ~10%
 padding, position-weighted mean pooling + L2 normalize, bf16. Ours fuses the
 pooling on device; the reference round-trips hidden states to host per batch.
 
+Batch 256: measured plateau of the throughput/batch curve on v5e-class
+hardware (tools/bench_encode_sweep.py: 32→494, 64→815, 128→961, 256→1162,
+384→1259 emb/s, 512 collapses on HBM spill of the fp32 score tensors).
+
 Measurement is dispatch/cache-proof: N_ITERS batches run inside ONE jit via
 lax.scan with per-step varying token ids, and the timing ends on a host fetch
 of the result checksum — remote-execution layers can neither memoize repeated
 identical dispatches nor acknowledge before the chain completes.
 
+MFU denominator: a dense bf16 matmul peak measured ON THIS DEVICE at the same
+sitting (8192³ scan chain — 162 TF/s observed on the dev tile, i.e. ~82% of a
+full v5e's 197 TF/s spec), so "slow tile" and "slow code" are separable: mfu
+is achieved model FLOP/s over what the tile demonstrably can do.
+
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6). The
 denominator is a computed reference point for the reference implementation on
 an A100-80GB at 125M/seq-304 (2·125e6·304 ≈ 76 GFLOP/seq, 312 TF/s bf16 at
-~50% util ⇒ ~2000 emb/s). vs_baseline = ours / 2000 — on a full v5e chip
-(197 TF/s) parity needs ~65% MFU; on a fractional dev tile the absolute value
-scales with the tile's FLOP share.
+~50% util ⇒ ~2000 emb/s). vs_baseline = ours / 2000.
 """
 from __future__ import annotations
 
@@ -30,7 +37,40 @@ import time
 import numpy as np
 
 BASELINE_EMB_PER_SEC = 2000.0
-BATCH, SEQ, N_ITERS = 32, 304, 8
+BATCH, SEQ, N_ITERS = 256, 304, 8
+
+
+def model_flops_per_seq(cfg, T: int) -> float:
+    """Dense decoder FLOPs for one sequence (2·MACs; full causal window)."""
+    D, L = cfg.hidden_size, cfg.num_layers
+    F = getattr(cfg, "intermediate_size", None) or 4 * D
+    per_token = L * (8 * D * D + 4 * D * F + 4 * T * D)
+    return float(per_token) * T
+
+
+def measure_tile_peak_tflops(size: int = 8192, iters: int = 8) -> float:
+    """Dense bf16 matmul rate this device achieves right now (MFU denominator)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jax.random.normal(jax.random.key(0), (size, size), jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(1), (size, size), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def step(acc, i):
+            out = (a + i.astype(jnp.bfloat16)) @ b
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(iters, dtype=jnp.int32))
+        return acc
+
+    float(chain(a, b))  # compile + warm
+    t0 = time.perf_counter()
+    checksum = float(chain(a, b))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return 2.0 * size ** 3 * iters / dt / 1e12
 
 
 def main() -> None:
@@ -71,11 +111,16 @@ def main() -> None:
     assert np.isfinite(checksum)
 
     emb_per_sec = N_ITERS * BATCH / dt
+    achieved_tflops = emb_per_sec * model_flops_per_seq(cfg, SEQ) / 1e12
+    peak_tflops = measure_tile_peak_tflops()
     print(json.dumps({
         "metric": "embeddings_per_sec_per_chip",
         "value": round(emb_per_sec, 1),
         "unit": "emb/s",
         "vs_baseline": round(emb_per_sec / BASELINE_EMB_PER_SEC, 3),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "tile_peak_tflops": round(peak_tflops, 1),
+        "mfu": round(achieved_tflops / peak_tflops, 3),
     }))
 
 

@@ -84,6 +84,61 @@ class ParallelSentencesData:
             yield targets, self.teacher_encode(sources)
 
 
+def contrastive_tension_batches(sentences: Sequence[str], batch_size: int,
+                                pos_neg_ratio: int = 8, seed: int = 0
+                                ) -> Iterator[List[InputExample]]:
+    """ContrastiveTension batch stream (losses/ContrastiveTensionLoss.py:
+    ContrastiveTensionDataLoader:73-108): every pos_neg_ratio-th example is an
+    identical pair (label 1); the rest pair consecutive distinct sentences
+    (label 0). batch_size must divide by pos_neg_ratio."""
+    if batch_size % pos_neg_ratio:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by pos_neg_ratio "
+            f"{pos_neg_ratio}")
+    sents = list(sentences)
+    random.Random(seed).shuffle(sents)
+    i = 0
+    batch: List[InputExample] = []
+    while i + 1 < len(sents):
+        s1 = sents[i]
+        if len(batch) % pos_neg_ratio > 0:
+            i += 1
+            s2, label = sents[i], 0.0
+        else:
+            s2, label = s1, 1.0
+        i += 1
+        batch.append(InputExample(texts=(s1, s2), label=label))
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+
+
+class DenoisingBatcher:
+    """(noisy, original) sentence-pair batches for TSDAE
+    (datasets/DenoisingAutoEncoderDataset.py equivalent: noise applied on the
+    fly each epoch, deterministic per (seed, epoch))."""
+
+    def __init__(self, sentences: Sequence[str], batch_size: int, *,
+                 del_ratio: float = 0.6, seed: int = 0):
+        self.sentences = list(sentences)
+        self.batch_size = batch_size
+        self.del_ratio = del_ratio
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.sentences) // self.batch_size
+
+    def __iter__(self) -> Iterator[List[InputExample]]:
+        rng = random.Random(f"{self.seed}:{self.epoch}")
+        self.epoch += 1
+        order = list(self.sentences)
+        rng.shuffle(order)
+        for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            yield [InputExample(texts=(denoise_text(t, self.del_ratio, rng), t))
+                   for t in order[s : s + self.batch_size]]
+
+
 def denoise_text(text: str, del_ratio: float = 0.6,
                  rng: Optional[random.Random] = None) -> str:
     """TSDAE deletion noise: DELETE each token with prob del_ratio (keep with

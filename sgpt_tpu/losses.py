@@ -146,6 +146,153 @@ def cosine_similarity_loss(u, v, labels) -> jax.Array:
     return jnp.mean(jnp.square(pred - labels.astype(jnp.float32)))
 
 
+def mnrl_symmetric_loss(anchors: jax.Array, positives: jax.Array,
+                        negatives: Optional[jax.Array] = None, *,
+                        scale: float = 20.0,
+                        similarity: str = "cos_sim") -> jax.Array:
+    """MultipleNegativesSymmetricRankingLoss: the MNRL forward loss plus the
+    reverse direction (given a positive, find its anchor among all anchors).
+    Ref: losses/MultipleNegativesSymmetricRankingLoss.py:44-56 — the backward
+    term uses only the anchor-positive score block (hard negatives contribute
+    to the forward term only)."""
+    sim = cos_sim if similarity == "cos_sim" else dot_score
+    candidates = (positives if negatives is None
+                  else jnp.concatenate([positives, negatives], axis=0))
+    scores = sim(anchors, candidates) * scale
+    labels = jnp.arange(anchors.shape[0])
+    forward_loss = _cross_entropy(scores, labels)
+    backward_loss = _cross_entropy(scores[:, : positives.shape[0]].T, labels)
+    return (forward_loss + backward_loss) / 2
+
+
+def contrastive_tension_loss(reps1: jax.Array, reps2: jax.Array,
+                             labels: jax.Array) -> jax.Array:
+    """ContrastiveTensionLoss: BCE-with-logits (SUM reduction, matching
+    nn.BCEWithLogitsLoss(reduction='sum')) on raw dot products; label 1 marks
+    the identical-sentence pair, 0 the sampled negatives. The two towers are
+    independent encoders in the reference (model1 deep-copied, model2 kept for
+    inference) — pass reps from two param sets.
+    Ref: losses/ContrastiveTensionLoss.py:33-41."""
+    logits = jnp.sum(reps1 * reps2, axis=-1).astype(jnp.float32)
+    y = labels.astype(jnp.float32)
+    # numerically-stable BCE-with-logits
+    per = jnp.maximum(logits, 0.0) - logits * y + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(per)
+
+
+def contrastive_tension_in_batch_negatives_loss(
+        reps1: jax.Array, reps2: jax.Array, *, logit_scale: jax.Array
+) -> jax.Array:
+    """ContrastiveTensionLossInBatchNegatives: symmetric in-batch CE with a
+    TRAINABLE temperature (logit_scale, init log(20) — exp() applied here).
+    Ref: losses/ContrastiveTensionLoss.py:45-67."""
+    scores = cos_sim(reps1, reps2) * jnp.exp(logit_scale)
+    labels = jnp.arange(scores.shape[0])
+    return (_cross_entropy(scores, labels) + _cross_entropy(scores.T, labels)) / 2
+
+
+# ---------------------------------------------------------------------------
+# Batch-triplet family (labels-driven triplet mining within a batch).
+# Ref: losses/BatchHardTripletLoss.py, BatchAllTripletLoss.py,
+# BatchSemiHardTripletLoss.py, BatchHardSoftMarginTripletLoss.py.
+# ---------------------------------------------------------------------------
+
+def pairwise_distances(embeddings: jax.Array, *, metric: str = "euclidean",
+                       squared: bool = False) -> jax.Array:
+    """(B, B) distance matrix. euclidean matches the reference's numerics:
+    clamp negatives to 0 and guard sqrt(0) gradients by masking exact zeros
+    (BatchHardTripletLoss.py:20-52); cosine = 1 - cos_sim."""
+    if metric == "cosine":
+        return 1.0 - cos_sim(embeddings, embeddings)
+    dot = embeddings @ embeddings.T
+    sq = jnp.diag(dot)
+    d2 = jnp.maximum(sq[:, None] - 2.0 * dot + sq[None, :], 0.0)
+    if squared:
+        return d2
+    zero = d2 == 0.0
+    d = jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0))
+    return jnp.where(zero, 0.0, d)
+
+
+def _positive_mask(labels):
+    same = labels[:, None] == labels[None, :]
+    return jnp.logical_and(same, ~jnp.eye(labels.shape[0], dtype=bool))
+
+
+def _negative_mask(labels):
+    return labels[:, None] != labels[None, :]
+
+
+def _hardest_pos_neg(labels, embeddings, metric):
+    d = pairwise_distances(embeddings, metric=metric)
+    pos = _positive_mask(labels)
+    neg = _negative_mask(labels)
+    hardest_pos = jnp.max(jnp.where(pos, d, 0.0), axis=1)
+    # invalid negatives get the row max added so min() skips them (:129-134)
+    row_max = jnp.max(d, axis=1, keepdims=True)
+    hardest_neg = jnp.min(jnp.where(neg, d, d + row_max), axis=1)
+    return hardest_pos, hardest_neg
+
+
+def batch_hard_triplet_loss(labels: jax.Array, embeddings: jax.Array, *,
+                            margin: float = 5.0,
+                            metric: str = "euclidean") -> jax.Array:
+    """relu(hardest_positive - hardest_negative + margin), batch mean."""
+    hp, hn = _hardest_pos_neg(labels, embeddings, metric)
+    return jnp.mean(jnp.maximum(hp - hn + margin, 0.0))
+
+
+def batch_hard_soft_margin_triplet_loss(labels: jax.Array,
+                                        embeddings: jax.Array, *,
+                                        metric: str = "euclidean") -> jax.Array:
+    """Soft-margin variant: log1p(exp(hardest_pos - hardest_neg))
+    (BatchHardSoftMarginTripletLoss.py:85)."""
+    hp, hn = _hardest_pos_neg(labels, embeddings, metric)
+    return jnp.mean(jnp.log1p(jnp.exp(hp - hn)))
+
+
+def batch_all_triplet_loss(labels: jax.Array, embeddings: jax.Array, *,
+                           margin: float = 5.0,
+                           metric: str = "euclidean") -> jax.Array:
+    """Mean over all VALID positive-loss triplets (a,p,n): a!=p, label(a)==
+    label(p), label(a)!=label(n) (BatchAllTripletLoss.py:47-88)."""
+    d = pairwise_distances(embeddings, metric=metric)
+    tl = d[:, :, None] - d[:, None, :] + margin            # (a, p, n)
+    B = labels.shape[0]
+    same = labels[:, None] == labels[None, :]
+    not_eye = ~jnp.eye(B, dtype=bool)
+    valid = (jnp.logical_and(same, not_eye)[:, :, None]     # a,p same label, a!=p
+             & (~same)[:, None, :])                         # a,n different label
+    tl = jnp.where(valid, jnp.maximum(tl, 0.0), 0.0)
+    num_positive = jnp.sum(tl > 1e-16)
+    return jnp.sum(tl) / (num_positive + 1e-16)
+
+
+def batch_semi_hard_triplet_loss(labels: jax.Array, embeddings: jax.Array, *,
+                                 margin: float = 5.0,
+                                 metric: str = "euclidean") -> jax.Array:
+    """Semi-hard mining (BatchSemiHardTripletLoss.py:50-93, the TF recipe):
+    for each (a, p) pick the closest negative FARTHER than d(a,p) if one
+    exists, else the farthest negative; mean hinge over positive pairs."""
+    d = pairwise_distances(embeddings, metric=metric)
+    B = labels.shape[0]
+    neg = _negative_mask(labels)                          # (a, n)
+    # mask[a, p, n]: n is a valid negative for a AND d(a,n) > d(a,p)
+    outside_mask = neg[:, None, :] & (d[:, None, :] > d[:, :, None])
+    big = jnp.max(d)
+    # closest negative beyond d(a,p); rows with none fall back to farthest neg
+    negatives_outside = jnp.min(jnp.where(outside_mask, d[:, None, :], big + 1.0),
+                                axis=2)
+    has_outside = jnp.any(outside_mask, axis=2)
+    negatives_inside = jnp.max(jnp.where(neg, d, -jnp.inf), axis=1)  # (a,)
+    semi_hard = jnp.where(has_outside, negatives_outside,
+                          negatives_inside[:, None])
+    loss_mat = d - semi_hard + margin
+    pos = _positive_mask(labels)
+    num_pos = jnp.sum(pos)
+    return jnp.sum(jnp.where(pos, jnp.maximum(loss_mat, 0.0), 0.0)) / num_pos
+
+
 def megabatch_margin_loss(anchors, positives, *, positive_margin: float = 0.8,
                           negative_margin: float = 0.3) -> jax.Array:
     """MegaBatchMarginLoss (ParaNMT): each anchor's hardest in-batch negative is

@@ -192,7 +192,8 @@ def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool)
 def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
             cfg: DecoderConfig, *, output_hidden_states: bool = False,
             position_ids: Optional[jax.Array] = None,
-            sp_mesh=None, sp_axis: str = "dp"):
+            sp_mesh=None, sp_axis: str = "dp",
+            cond: Optional[jax.Array] = None, cond_params: Optional[dict] = None):
     """Run the decoder.
 
     Returns final hidden states (B, T, D) after ln_f, or — with
@@ -201,12 +202,21 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
     sp_mesh: optional Mesh for SEQUENCE parallelism — attention runs as ring
     attention over `sp_axis` (ops/ring_attention.py) so T scales with chips;
     everything token-local (embeds, layernorm, MLP) shards automatically.
+
+    cond/cond_params: TSDAE-style decoding conditioned on a (B, D) sentence
+    embedding. The reference decodes with HF cross-attention to a SINGLE
+    encoder token (losses/DenoisingAutoEncoderLoss.py:121-128); softmax over
+    one key is identically 1, so that cross-attention degenerates exactly to a
+    query-independent per-layer projection of the embedding — cond_params is
+    the stacked {"w": (L, D, D), "b": (L, D)} projection, added into each
+    block's residual after self-attention.
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _forward_impl(params, input_ids, attention_mask, cfg,
                              output_hidden_states=output_hidden_states,
                              position_ids=position_ids,
-                             sp_mesh=sp_mesh, sp_axis=sp_axis)
+                             sp_mesh=sp_mesh, sp_axis=sp_axis,
+                             cond=cond, cond_params=cond_params)
 
 
 def ring_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
@@ -237,7 +247,7 @@ def ring_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
 
 def _forward_impl(params, input_ids, attention_mask, cfg, *,
                   output_hidden_states, position_ids, sp_mesh=None,
-                  sp_axis="dp"):
+                  sp_axis="dp", cond=None, cond_params=None):
     B, T = input_ids.shape
     dtype = cfg.dtype
 
@@ -277,7 +287,11 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     layers = params["layers"]
 
     def block(x, xs):
-        p, local_flag = xs
+        if cond is None:
+            p, local_flag = xs
+            cp = None
+        else:
+            p, local_flag, cp = xs
         h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
         if use_sp:
             attn_out = ring_attention_layer(h1, p["attn"], cfg, attention_mask,
@@ -292,6 +306,13 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
             else:
                 mask_bias = bias_global
             attn_out = attention(h1, p["attn"], cfg, mask_bias, rope, alibi)
+        if cond is not None:
+            # degenerate single-token cross-attention (see forward docstring):
+            # a learned projection of the sentence embedding, same at every
+            # position, joins the residual after self-attention
+            proj = cond.astype(x.dtype) @ cp["w"].astype(x.dtype) + \
+                cp["b"].astype(x.dtype)
+            attn_out = attn_out + proj[:, None, :]
         if cfg.parallel_residual:
             mlp_out = mlp(h1, p["mlp"])
             x = x + attn_out + mlp_out
@@ -302,7 +323,8 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         return x, (x if output_hidden_states else None)
 
     x0 = x
-    x, ys = jax.lax.scan(block, x, (layers, is_local))
+    xs = (layers, is_local) if cond is None else (layers, is_local, cond_params)
+    x, ys = jax.lax.scan(block, x, xs)
     final = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], cfg.layer_norm_eps)
 
     if output_hidden_states:
