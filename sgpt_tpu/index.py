@@ -30,13 +30,19 @@ class DenseIndex:
 
     def __init__(self, dim: int, *, normalize_embeddings: bool = True,
                  mesh=None, block_size: int = 128, dtype=jnp.bfloat16,
-                 kernel: str = "blockmax"):
-        """kernel: 'blockmax' (XLA two-phase, any k) or 'pallas' (streaming
-        fused kernel, k <= 16, single-device — ops/pallas/mips.py)."""
+                 kernel: str = "blockmax", slab_size: int = 1 << 20):
+        """kernel: 'blockmax' (XLA two-phase, any k — the measured-fastest
+        path, docs/PERF.md) or 'pallas' (streaming fused kernel, k <= 16,
+        single-device — ops/pallas/mips.py).
+
+        slab_size: max docs scored per matmul. Shards larger than this scan
+        slab-by-slab with an on-device running merge, so a shard bigger than
+        the HBM budget for its (Q, shard) score matrix still works."""
         self.dim = dim
         self.normalize = normalize_embeddings
         self.mesh = mesh
         self.block_size = block_size
+        self.slab_size = max(slab_size, block_size)
         self.dtype = dtype
         self.kernel = kernel
         if kernel == "pallas" and mesh is not None:
@@ -123,24 +129,28 @@ class DenseIndex:
 
             def search(queries, k: int):
                 return blockmax_topk(queries, self._corpus, self._count, k=k,
-                                     block_size=block_size)
+                                     block_size=block_size,
+                                     slab_size=self.slab_size)
             return search
 
         mesh = self.mesh
         n_dev = mesh.shape["dp"]
         shard_n = self._corpus.shape[0] // n_dev
         count = self._count
+        # slab must tile the shard evenly for the in-shard scan; fall back to
+        # one slab when it doesn't (blockmax_topk does the same internally)
+        slab = self.slab_size if shard_n % self.slab_size == 0 else shard_n
         from jax.sharding import PartitionSpec as P
 
         def shard_search(queries, corpus_shard, k: int):
-            """Runs per device: local exact top-k, then ICI-merge."""
+            """Runs per device: local exact top-k (slab-scanned when the shard
+            exceeds slab_size, so (Q, shard) scores never materialize), then
+            ICI-merge."""
             rank = jax.lax.axis_index("dp")
             base = rank * shard_n
             local_valid = jnp.clip(count - base, 0, shard_n)
-            # one slab per shard: shard_map's varying-axis rules need the
-            # scan-free path in blockmax_topk
             vals, idx = blockmax_topk(queries, corpus_shard, local_valid, k=k,
-                                      block_size=block_size, slab_size=shard_n)
+                                      block_size=block_size, slab_size=slab)
             idx = idx + base
             # gather all shards' candidates: (n_dev*k) per query, then top-k.
             all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)

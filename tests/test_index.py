@@ -56,6 +56,40 @@ def test_sharded_matches_single():
         assert set(a) == set(b)
 
 
+def test_sharded_multislab_matches_single():
+    """Shard > slab budget: the per-shard search scans slab-by-slab instead of
+    materializing (Q, shard) scores (the r1 index.py:141 limitation)."""
+    corpus, queries = _data(n=2048, d=16, q=5, seed=7)
+    single = DenseIndex(16, dtype=jax.numpy.float32)
+    single.add(corpus)
+    single.build()
+    v1, i1 = single.search_embeddings(queries, k=9)
+
+    mesh = make_mesh(dp=8, tp=1)
+    # shard_n = 256, slab 128 -> 2 slabs per shard
+    sharded = DenseIndex(16, mesh=mesh, dtype=jax.numpy.float32, slab_size=128)
+    sharded.add(corpus)
+    sharded.build()
+    v2, i2 = sharded.search_embeddings(queries, k=9)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+    for a, b in zip(i1, i2):
+        assert set(a) == set(b)
+
+
+def test_single_device_multislab_matches():
+    corpus, queries = _data(n=1024, d=16, q=4, seed=8)
+    a = DenseIndex(16, dtype=jax.numpy.float32)
+    a.add(corpus)
+    a.build()
+    b = DenseIndex(16, dtype=jax.numpy.float32, slab_size=256)  # 4 slabs
+    b.add(corpus)
+    b.build()
+    va, ia = a.search_embeddings(queries, k=7)
+    vb, ib = b.search_embeddings(queries, k=7)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=1e-5)
+    assert ia == ib
+
+
 def test_from_device_embeddings():
     import jax.numpy as jnp
     corpus, queries = _data(n=300, d=8, q=3, seed=3)
