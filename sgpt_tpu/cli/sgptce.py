@@ -26,6 +26,17 @@ def parse_args():
                    help="json of first-stage results {qid: {docid: score}}")
     p.add_argument("--batchsize", type=int, default=16)
     p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--prompt", default="G",
+                   help="prompt ablation id: A-I/quoraA-D (zero-shot), "
+                        "J/K/quoraE (few-shot, needs --fewshot), L/M (Yes/No "
+                        "classifier). The paper's main prompt is G "
+                        "(crossencoder_beir_sgpt.ipynb cells 10-17)")
+    p.add_argument("--fewshot", action="store_true",
+                   help="prepend the shortest relevant (doc, query) pair from "
+                        "qrels as a one-shot example (notebook get_match_len)")
+    p.add_argument("--min_corp_query_len", type=int, default=0,
+                   help="few-shot selection: skip pairs shorter than this "
+                        "many tokens (the notebook's Quora guard)")
     p.add_argument("--maxseqlen", type=int, default=None)
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
@@ -38,7 +49,8 @@ def main(args=None):
     setup_logging()
     args = args or parse_args()
 
-    from ..crossencoder import CrossEncoderRanker, rerank
+    from ..ce_prompts import build_ranker, select_fewshot
+    from ..crossencoder import rerank
     from ..evaluation import EvaluateRetrieval, load_beir_dataset
 
     data_path = os.path.join(args.datadir, args.dataset)
@@ -57,9 +69,15 @@ def main(args=None):
     # TP sharding of the big CE models (GPT-J/BLOOM) — the pjit replacement for
     # the reference's device_map="auto" layer offloading (sgptce.py:54-60)
     params = maybe_shard(params, build_mesh(args))
-    ranker = CrossEncoderRanker(params, cfg, tokenizer,
-                                batch_size=args.batchsize,
-                                max_length=args.maxseqlen)
+    fewshots = None
+    if args.fewshot:
+        fewshots = select_fewshot(corpus, queries, qrels, tokenizer,
+                                  min_corp_query_len=args.min_corp_query_len)
+        logger.info("few-shot example: doc=%r query=%r",
+                    fewshots[0][:80], fewshots[1][:80])
+    ranker = build_ranker(args.prompt, params, cfg, tokenizer,
+                          fewshots=fewshots, batch_size=args.batchsize,
+                          max_length=args.maxseqlen)
     reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
 
     k_values = (1, 3, 5, 10, 100)
@@ -69,9 +87,10 @@ def main(args=None):
     logger.info("BM25 nDCG: %s", ndcg_bm25)
     logger.info("SGPT-CE nDCG: %s", ndcg_ce)
 
-    out = args.output or f"./sgptce_{args.dataset}.json"
+    out = args.output or f"./sgptce_{args.dataset}_prompt{args.prompt}.json"
     with open(out, "w") as f:
         json.dump({"dataset": args.dataset, "model": args.modelpath,
+                   "prompt": args.prompt, "fewshot": bool(args.fewshot),
                    "bm25_ndcg": ndcg_bm25, "ce_ndcg": ndcg_ce,
                    "ce_map": _map, "ce_recall": recall,
                    "ce_precision": precision}, f, indent=2)

@@ -159,6 +159,11 @@ class YesNoRanker(CrossEncoderRanker):
         kw.setdefault("vocab_subset", vocab_ids)
         super().__init__(params, cfg, tokenizer, prompt_doc=prompt_doc, **kw)
         self.continuation = continuation
+        if self.fewshot_prefix:
+            # the reference appends the expected answer to the few-shot
+            # example (GPTYesRanker: fewshots = start.format(...) + continuation)
+            self.fewshot_prefix += continuation
+            self.instruction_len += len(tokenizer.encode(continuation))
 
     def predict(self, sentences: Sequence[Tuple[str, str]],
                 batch_size: Optional[int] = None, **kw) -> List[float]:
