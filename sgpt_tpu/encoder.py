@@ -55,19 +55,24 @@ def _apply_heads(x, head_params, activations):
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "layeridx", "do_normalize",
-                                   "has_learned_weights", "pre_acts", "post_acts"))
+                                   "has_learned_weights", "pre_acts", "post_acts",
+                                   "sp_mesh"))
 def _embed_step(params, heads, input_ids, mask, learned_weights,
                 cfg: DecoderConfig, method: str, layeridx: int,
                 do_normalize: bool, has_learned_weights: bool,
-                pre_acts: tuple = (), post_acts: tuple = ()):
+                pre_acts: tuple = (), post_acts: tuple = (), sp_mesh=None):
     """One fused forward+(heads)+pool step. All shapes static.
 
     heads = {"pre": [{w[,b]}...], "post": [...]} — linear layers applied to
     token embeddings before pooling (--linearthenpool) or to the sentence
-    embedding after (training_nli_v2.py:105-117)."""
+    embedding after (training_nli_v2.py:105-117).
+
+    sp_mesh: sequence-parallel mesh — attention runs as ring attention with
+    T sharded over the mesh (the long-context serving path)."""
     needs_stack = (method in STACK_POOLERS) or (layeridx not in (-1, cfg.num_layers))
     if needs_stack:
-        stack = forward(params, input_ids, mask, cfg, output_hidden_states=True)
+        stack = forward(params, input_ids, mask, cfg, output_hidden_states=True,
+                        sp_mesh=sp_mesh)
         if method in STACK_POOLERS:
             emb = STACK_POOLERS[method](stack, mask)
         else:
@@ -75,7 +80,7 @@ def _embed_step(params, heads, input_ids, mask, learned_weights,
             emb = _pool_single(hidden, mask, method, learned_weights,
                                has_learned_weights)
     else:
-        hidden = forward(params, input_ids, mask, cfg)
+        hidden = forward(params, input_ids, mask, cfg, sp_mesh=sp_mesh)
         hidden = _apply_heads(hidden, heads.get("pre", ()), pre_acts)
         emb = _pool_single(hidden, mask, method, learned_weights, has_learned_weights)
     emb = _apply_heads(emb, heads.get("post", ()), post_acts)
@@ -109,7 +114,15 @@ class EmbeddingEngine:
         dense_heads: Optional[list] = None,
         cache_dir: Optional[str] = None,
         mesh=None,
+        sp_mesh=None,
     ):
+        """mesh: data-parallel encode (batch shards over dp). sp_mesh:
+        SEQUENCE-parallel encode — ring attention over the mesh axis for docs
+        longer than one chip's attention budget (mutually exclusive with mesh;
+        T must divide by the sp axis size, so pick max_seq_len accordingly)."""
+        if mesh is not None and sp_mesh is not None:
+            raise ValueError("pass either mesh (dp encode) or sp_mesh "
+                             "(sequence-parallel long-context encode), not both")
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -146,6 +159,7 @@ class EmbeddingEngine:
         # implicit under single-controller jit). Params may additionally be
         # TP-sharded via parallel.shard_params before construction.
         self.mesh = mesh
+        self.sp_mesh = sp_mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._data_sharding = NamedSharding(mesh, P("dp", None))
@@ -167,7 +181,8 @@ class EmbeddingEngine:
                         jnp.asarray(mask), self.learned_weights, self.cfg,
                         self.method, self.layeridx, self.normalize,
                         self.has_learned_weights,
-                        tuple(self.pre_acts), tuple(self.post_acts))
+                        tuple(self.pre_acts), tuple(self.post_acts),
+                        sp_mesh=self.sp_mesh)
         del dummy
         return self
 
@@ -190,6 +205,16 @@ class EmbeddingEngine:
             batch = [texts[i] for i in sel]
             enc = self.codec.encode(batch, is_query=is_query)
             ids, mask = enc.input_ids, enc.attention_mask
+            if self.sp_mesh is not None:
+                # ring attention shards T over the mesh axis: right-pad the
+                # bucket up to a multiple (pads are causally invisible)
+                n = int(np.prod(list(self.sp_mesh.shape.values())))
+                T = ids.shape[1]
+                t_pad = (T + n - 1) // n * n - T
+                if t_pad:
+                    ids = np.pad(ids, ((0, 0), (0, t_pad)),
+                                 constant_values=self.tokenizer.pad_id)
+                    mask = np.pad(mask, ((0, 0), (0, t_pad)))
             if len(batch) < B:  # pad batch to static size
                 pad = B - len(batch)
                 ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))])
@@ -205,7 +230,8 @@ class EmbeddingEngine:
                               self.learned_weights, self.cfg,
                               self.method, self.layeridx, self.normalize,
                               self.has_learned_weights,
-                              tuple(self.pre_acts), tuple(self.post_acts))
+                              tuple(self.pre_acts), tuple(self.post_acts),
+                              sp_mesh=self.sp_mesh)
             out[sel] = np.asarray(emb[: len(batch)], np.float32)
         self._cache_store(texts, is_query, out)
         return out
