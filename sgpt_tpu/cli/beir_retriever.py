@@ -39,6 +39,12 @@ def parse_args():
                    help="random weights (smoke/debug; reference --reinit)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--expect-ndcg", type=float, default=None, dest="expect_ndcg",
+                   help="assert nDCG@10 >= this value minus --ndcg-tol (exit 1 "
+                        "otherwise) — the staged score-parity check, e.g. 0.569 "
+                        "for SGPT-125M-weightedmean-msmarco-specb-bitfit on "
+                        "SciFact (reference README.md:400)")
+    p.add_argument("--ndcg-tol", type=float, default=0.005, dest="ndcg_tol")
     add_mesh_args(p)
     return p.parse_args()
 
@@ -86,9 +92,12 @@ def main(args=None):
         logger.info("Found %s - Skipping ...", out_path)
         return
 
+    topk = args.topk
+    if getattr(args, "expect_ndcg", None) is not None:
+        topk = max(topk, 10)  # the assertion reads nDCG@10
     retriever = EvaluateRetrieval(DenseRetriever(engine),
                                   k_values=[k for k in (1, 3, 5, 10, 100, 1000)
-                                            if k <= args.topk])
+                                            if k <= topk])
     results = retriever.retrieve(corpus, queries)
     with open(out_path, "w") as f:
         json.dump(results, f)
@@ -98,6 +107,15 @@ def main(args=None):
     logger.info("nDCG: %s", ndcg)
     store.add(model_name, dataset, ndcg, _map, recall, precision)
     store.save()
+
+    if getattr(args, "expect_ndcg", None) is not None:
+        got = ndcg.get("NDCG@10")
+        if got is None or got < args.expect_ndcg - args.ndcg_tol:
+            raise SystemExit(
+                f"score-parity FAILED: nDCG@10={got} < expected "
+                f"{args.expect_ndcg} (tol {args.ndcg_tol})")
+        logger.info("score-parity OK: nDCG@10=%.4f >= %.4f - %.3f",
+                    got, args.expect_ndcg, args.ndcg_tol)
 
 
 if __name__ == "__main__":
