@@ -122,6 +122,8 @@ def test_sgptce_cli_smoke(tiny_beir, monkeypatch, tmp_path):
                 str(tiny_beir / "bm25.json"), "--randominit",
                 "--batchsize", "4", "--topk", "3", "--maxseqlen", "48"]
     sgptce.main()
-    with open(tiny_beir / "sgptce_toybeir.json") as f:
+    # default output filename records the prompt id (ablation sweeps must not
+    # overwrite each other)
+    with open(tiny_beir / "sgptce_toybeir_promptG.json") as f:
         out = json.load(f)
-    assert "ce_ndcg" in out and "bm25_ndcg" in out
+    assert "ce_ndcg" in out and "bm25_ndcg" in out and out["prompt"] == "G"
