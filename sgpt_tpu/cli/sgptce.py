@@ -87,6 +87,14 @@ def main(args=None):
     logger.info("BM25 nDCG: %s", ndcg_bm25)
     logger.info("SGPT-CE nDCG: %s", ndcg_ce)
 
+    # cross-dataset accumulation with CQADupStack forum averaging — the
+    # reference's beir_{model}_prompt{id}_ndcgs.json loop (sgptce.py:407-475)
+    from ..evaluation.aggregate import ResultsStore
+    store = ResultsStore(path="./sgptce_ndcgs.json")
+    store.add(f"{args.modelpath.replace('/', '_')}_prompt{args.prompt}",
+              args.dataset.replace("/", "_"), ndcg_ce, _map, recall, precision)
+    store.save()
+
     out = args.output or f"./sgptce_{args.dataset}_prompt{args.prompt}.json"
     with open(out, "w") as f:
         json.dump({"dataset": args.dataset, "model": args.modelpath,

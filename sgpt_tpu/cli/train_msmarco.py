@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--max_seq_length", type=int, default=300)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--scheduler", default="warmuplinear",
+                   choices=["constantlr", "warmupconstant", "warmuplinear",
+                            "warmupcosine", "warmupcosinewithhardrestarts"])
     p.add_argument("--pooling", default="weightedmean")
     p.add_argument("--specb", action="store_true")
     p.add_argument("--freezenonbias", action="store_true")
@@ -109,7 +112,8 @@ def main(args=None):
                                          dtype_str="float32")
     tc = TrainConfig(
         lr=args.lr, epochs=args.epochs, batch_size=args.train_batch_size,
-        max_seq_len=args.max_seq_length, pooling=args.pooling, specb=args.specb,
+        max_seq_len=args.max_seq_length, scheduler=args.scheduler,
+        pooling=args.pooling, specb=args.specb,
         freeze_nonbias=args.freezenonbias, train_wte=args.unfreezewte,
         use_gradcache=args.gradcache, chunk_size=args.chunksize,
         output_dir=args.model_save_path, seed=args.seed,

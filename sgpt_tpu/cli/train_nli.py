@@ -23,6 +23,9 @@ def parse_args():
     p.add_argument("--max_seq_length", type=int, default=75)
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--scheduler", default="warmuplinear",
+                   choices=["constantlr", "warmupconstant", "warmuplinear",
+                            "warmupcosine", "warmupcosinewithhardrestarts"])
     p.add_argument("--pooling", default="weightedmean")
     p.add_argument("--learntmean", action="store_true",
                    help="trainable per-position pooling weights (ref :100-101)")
@@ -78,7 +81,7 @@ def main(args=None):
 
     tc = TrainConfig(
         lr=args.lr, epochs=args.num_epochs, batch_size=args.train_batch_size,
-        max_seq_len=args.max_seq_length,
+        max_seq_len=args.max_seq_length, scheduler=args.scheduler,
         pooling="learned_weightedmean" if args.learntmean else args.pooling,
         freeze_nonbias=args.freezenonbias, train_wte=args.unfreezewte,
         use_gradcache=args.gradcache, chunk_size=args.chunksize,

@@ -34,4 +34,24 @@ def make_schedule(name: str, lr: float, warmup_steps: int, total_steps: int):
         return warmup_linear(lr, warmup_steps, total_steps)
     if name == "warmupcosine":
         return warmup_cosine(lr, warmup_steps, total_steps)
+    if name == "warmupcosinewithhardrestarts":
+        return warmup_cosine_hard_restarts(lr, warmup_steps, total_steps)
     raise ValueError(f"unknown scheduler {name!r}")
+
+
+def warmup_cosine_hard_restarts(lr: float, warmup_steps: int, total_steps: int,
+                                cycles: int = 3):
+    """Linear warmup, then `cycles` cosine decays lr→0 each restarting at lr
+    (transformers get_cosine_with_hard_restarts_schedule_with_warmup, which
+    ST's fit() dispatches for 'warmupcosinewithhardrestarts')."""
+    warmup_steps = max(warmup_steps, 1)
+    decay_total = max(total_steps - warmup_steps, cycles)
+    seg = decay_total // cycles
+    schedules = [optax.linear_schedule(0.0, lr, warmup_steps)]
+    boundaries = [warmup_steps]
+    for c in range(cycles):
+        steps = seg if c < cycles - 1 else decay_total - seg * (cycles - 1)
+        schedules.append(optax.cosine_decay_schedule(lr, max(steps, 1)))
+        if c < cycles - 1:
+            boundaries.append(boundaries[-1] + steps)
+    return optax.join_schedules(schedules, boundaries=boundaries)

@@ -89,3 +89,12 @@ def test_schedules():
     assert float(c(50)) == 0.5
     wc = make_schedule("warmupconstant", 1.0, 10, 100)
     assert abs(float(wc(50)) - 1.0) < 1e-6
+    cos = make_schedule("warmupcosine", 1.0, 10, 100)
+    assert abs(float(cos(10)) - 1.0) < 1e-6 and float(cos(99)) < 0.01
+    # hard restarts: lr returns to the peak at each cycle boundary
+    hr = make_schedule("warmupcosinewithhardrestarts", 1.0, 10, 100)
+    assert abs(float(hr(10)) - 1.0) < 1e-6      # warmup done
+    assert float(hr(39)) < 0.05                 # end of cycle 1 (30 steps)
+    assert abs(float(hr(40)) - 1.0) < 1e-6      # restart at peak
+    assert float(hr(69)) < 0.05
+    assert abs(float(hr(70)) - 1.0) < 1e-6
