@@ -19,20 +19,20 @@ ZERO_SHOT=(A B C D E F G H I)
 FEW_SHOT=(J K)
 YES_NO=(L M)
 
+join() { local IFS=,; echo "$*"; }
+
 for DS in "${DATASETS[@]}"; do
   BM25="./results_${DS//\//_}.json"
   if [[ ! -f "$BM25" ]]; then
     python -m sgpt_tpu.cli.bm25_retriever --dataset "$DS" --datadir "$DATAPATH" \
         --output "$BM25"
   fi
-  for P in "${ZERO_SHOT[@]}" "${YES_NO[@]}"; do
-    python -m sgpt_tpu.cli.sgptce --dataset "$DS" --datadir "$DATAPATH" \
-        --modelpath "$MODEL" --bm25results "$BM25" --prompt "$P" \
-        --output "./sgptce_${DS//\//_}_prompt${P}.json" ${EXTRA_ARGS:-}
-  done
-  for P in "${FEW_SHOT[@]}"; do
-    python -m sgpt_tpu.cli.sgptce --dataset "$DS" --datadir "$DATAPATH" \
-        --modelpath "$MODEL" --bm25results "$BM25" --prompt "$P" --fewshot \
-        --output "./sgptce_${DS//\//_}_prompt${P}.json" ${EXTRA_ARGS:-}
-  done
+  # comma-list prompt mode: one process per group — the model load and jit
+  # compiles amortize across the whole ablation set
+  python -m sgpt_tpu.cli.sgptce --dataset "$DS" --datadir "$DATAPATH" \
+      --modelpath "$MODEL" --bm25results "$BM25" \
+      --prompt "$(join "${ZERO_SHOT[@]}" "${YES_NO[@]}")" ${EXTRA_ARGS:-}
+  python -m sgpt_tpu.cli.sgptce --dataset "$DS" --datadir "$DATAPATH" \
+      --modelpath "$MODEL" --bm25results "$BM25" \
+      --prompt "$(join "${FEW_SHOT[@]}")" --fewshot ${EXTRA_ARGS:-}
 done

@@ -30,7 +30,9 @@ def parse_args():
                    help="prompt ablation id: A-I/quoraA-D (zero-shot), "
                         "J/K/quoraE (few-shot, needs --fewshot), L/M (Yes/No "
                         "classifier). The paper's main prompt is G "
-                        "(crossencoder_beir_sgpt.ipynb cells 10-17)")
+                        "(crossencoder_beir_sgpt.ipynb cells 10-17). A comma "
+                        "list (e.g. 'A,B,G,L') runs the whole ablation set in "
+                        "one process, amortizing model load + compiles")
     p.add_argument("--fewshot", action="store_true",
                    help="prepend the shortest relevant (doc, query) pair from "
                         "qrels as a one-shot example (notebook get_match_len)")
@@ -75,33 +77,51 @@ def main(args=None):
                                   min_corp_query_len=args.min_corp_query_len)
         logger.info("few-shot example: doc=%r query=%r",
                     fewshots[0][:80], fewshots[1][:80])
-    ranker = build_ranker(args.prompt, params, cfg, tokenizer,
-                          fewshots=fewshots, batch_size=args.batchsize,
-                          max_length=args.maxseqlen)
-    reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
 
     k_values = (1, 3, 5, 10, 100)
     ndcg_bm25, *_ = EvaluateRetrieval.evaluate(qrels, first_stage, k_values)
-    ndcg_ce, _map, recall, precision = EvaluateRetrieval.evaluate(qrels, reranked,
-                                                                  k_values)
     logger.info("BM25 nDCG: %s", ndcg_bm25)
-    logger.info("SGPT-CE nDCG: %s", ndcg_ce)
 
-    # cross-dataset accumulation with CQADupStack forum averaging — the
-    # reference's beir_{model}_prompt{id}_ndcgs.json loop (sgptce.py:407-475)
+    # --prompt accepts a comma list (e.g. "A,B,G,L"): the model load and jit
+    # compiles amortize across the whole ablation set in ONE process (the
+    # notebook pays them once per loop iteration)
+    from ..ce_prompts import ALL_PROMPT_IDS, FEW_SHOT
     from ..evaluation.aggregate import ResultsStore
-    store = ResultsStore(path="./sgptce_ndcgs.json")
-    store.add(f"{args.modelpath.replace('/', '_')}_prompt{args.prompt}",
-              args.dataset.replace("/", "_"), ndcg_ce, _map, recall, precision)
-    store.save()
+    prompt_ids = [p.strip() for p in args.prompt.split(",") if p.strip()]
+    # validate the WHOLE list up front — a long ablation run must not die
+    # halfway through on a typo'd or misconfigured id
+    for pid in prompt_ids:
+        if pid not in ALL_PROMPT_IDS:
+            raise SystemExit(f"unknown prompt id {pid!r}; choose from "
+                             f"{ALL_PROMPT_IDS}")
+        if pid in FEW_SHOT and not args.fewshot:
+            raise SystemExit(f"prompt {pid!r} is few-shot — pass --fewshot")
+    for prompt_id in prompt_ids:
+        shots = fewshots if (args.fewshot or prompt_id in FEW_SHOT) else None
+        ranker = build_ranker(prompt_id, params, cfg, tokenizer,
+                              fewshots=shots, batch_size=args.batchsize,
+                              max_length=args.maxseqlen)
+        reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
+        ndcg_ce, _map, recall, precision = EvaluateRetrieval.evaluate(
+            qrels, reranked, k_values)
+        logger.info("SGPT-CE[%s] nDCG: %s", prompt_id, ndcg_ce)
 
-    out = args.output or f"./sgptce_{args.dataset}_prompt{args.prompt}.json"
-    with open(out, "w") as f:
-        json.dump({"dataset": args.dataset, "model": args.modelpath,
-                   "prompt": args.prompt, "fewshot": bool(args.fewshot),
-                   "bm25_ndcg": ndcg_bm25, "ce_ndcg": ndcg_ce,
-                   "ce_map": _map, "ce_recall": recall,
-                   "ce_precision": precision}, f, indent=2)
+        # cross-dataset accumulation with CQADupStack forum averaging — the
+        # reference's beir_{model}_prompt{id}_ndcgs.json loop (sgptce.py:407-475)
+        store = ResultsStore(path="./sgptce_ndcgs.json")
+        store.add(f"{args.modelpath.replace('/', '_')}_prompt{prompt_id}",
+                  args.dataset.replace("/", "_"), ndcg_ce, _map, recall,
+                  precision)
+        store.save()
+
+        out = (args.output if args.output and len(prompt_ids) == 1
+               else f"./sgptce_{args.dataset}_prompt{prompt_id}.json")
+        with open(out, "w") as f:
+            json.dump({"dataset": args.dataset, "model": args.modelpath,
+                       "prompt": prompt_id, "fewshot": shots is not None,
+                       "bm25_ndcg": ndcg_bm25, "ce_ndcg": ndcg_ce,
+                       "ce_map": _map, "ce_recall": recall,
+                       "ce_precision": precision}, f, indent=2)
 
 
 if __name__ == "__main__":
