@@ -30,7 +30,8 @@ extern "C" {
 
 // n_queries          number of queries
 // offsets            [n_queries+1] prefix offsets into scores/grades
-// scores             flattened retrieved-doc scores (unsorted)
+// scores             flattened retrieved-doc scores (unsorted, float64 so
+//                    sub-float32 score differences rank exactly like python)
 // grades             flattened judged grades for those docs (0 = not relevant)
 // n_relevant         [n_queries] total relevant docs (for recall/MAP denominators)
 // ideal_offsets      [n_queries+1] prefix offsets into ideal_gains
@@ -39,7 +40,7 @@ extern "C" {
 // out                [n_queries * n_ks * 6] row-major:
 //                    (ndcg, map, recall, precision, mrr, accuracy)
 void evaluate_queries(int32_t n_queries, const int64_t* offsets,
-                      const float* scores, const int32_t* grades,
+                      const double* scores, const int32_t* grades,
                       const int32_t* n_relevant, const int64_t* ideal_offsets,
                       const int32_t* ideal_gains, const int32_t* ks,
                       int32_t n_ks, double* out) {

@@ -4,10 +4,9 @@ Compiles on first use (g++ via native/Makefile) and falls back to the pure-
 Python metrics if unavailable. `evaluate_retrieval_native` mirrors
 metrics.evaluate_retrieval's output; `available()` gates usage.
 
-Known parity caveat: scores cross the C ABI as float32, so two docs whose
-float64 scores differ only below float32 precision tie here (resolving to
-doc-id order) while the Python path ranks them by the sub-ulp difference —
-irrelevant for real similarity scores, visible only in adversarial unit tests.
+Scores cross the C ABI as float64 (round-2 fix of the r1 float32 tie-break
+caveat): the native ranking is bit-identical to the Python path's, including
+sub-float32 score differences.
 """
 from __future__ import annotations
 
@@ -39,7 +38,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so_path)
         lib.evaluate_queries.argtypes = [
             ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
@@ -90,7 +89,7 @@ def evaluate_retrieval_native(qrels, results,
         lib.evaluate_queries(
             np.int32(len(qids)),
             np.asarray(offsets, np.int64),
-            np.asarray(scores_l, np.float32),
+            np.asarray(scores_l, np.float64),
             np.asarray(grades_l, np.int32),
             np.asarray(nrel_l, np.int32),
             np.asarray(ideal_offsets, np.int64),

@@ -59,3 +59,28 @@ def test_native_speedup():
     evaluate_retrieval_native(qrels, results, ks)
     t_native = time.perf_counter() - t0
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_native_subfloat32_tiebreak_matches_python():
+    """Round-2 fix: scores cross the ABI as float64, so docs whose scores
+    differ only below float32 precision rank exactly like the Python path
+    (the r1 caveat in evaluation/native.py's old docstring)."""
+    import numpy as np
+
+    from sgpt_tpu.evaluation.metrics import evaluate_retrieval
+    from sgpt_tpu.evaluation.native import available, evaluate_retrieval_native
+
+    if not available():
+        import pytest
+        pytest.skip("no native toolchain")
+    base = 0.5
+    eps = float(np.nextafter(np.float64(base), 1.0)) - base  # one f64 ulp
+    qrels = {"q": {"good": 1}}
+    # "bad" outscores "good" by less than a float32 ulp — float32 would tie
+    # and doc-id order would put "bad" first either way; float64 must rank
+    # "bad" first because its score IS higher
+    results = {"q": {"good": base, "bad": base + eps}}
+    n = evaluate_retrieval_native(qrels, results, k_values=(1, 2))
+    p = evaluate_retrieval(qrels, results, k_values=(1, 2))
+    assert n == p
+    assert n[0]["NDCG@1"] == 0.0  # 'bad' genuinely ranks first
