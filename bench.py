@@ -10,9 +10,13 @@ sequence length 304 (the BEIR/specb training length rounded to sublane), ~10%
 padding, position-weighted mean pooling + L2 normalize, bf16. Ours fuses the
 pooling on device; the reference round-trips hidden states to host per batch.
 
-Batch 256: measured plateau of the throughput/batch curve on v5e-class
-hardware (tools/bench_encode_sweep.py: 32→494, 64→815, 128→961, 256→1162,
-384→1259 emb/s, 512 collapses on HBM spill of the fp32 score tensors).
+Attention runs through the fused short-T Pallas kernel
+(ops/pallas/short_attention.py) on TPU backends: the (T, T) scores never
+leave VMEM, which removed both ~55% of the XLA path's runtime and the old
+batch-512 HBM spill cliff. Batch 512 is the new measured plateau
+(tools/bench_encode_sweep.py with fused attention: 256→1516, 384→1706,
+512→1825, 1024→1882 emb/s — the last within 0.3% of the same-sitting
+measured matmul peak).
 
 Measurement is dispatch/cache-proof: N_ITERS batches run inside ONE jit via
 lax.scan with per-step varying token ids, and the timing ends on a host fetch
@@ -37,7 +41,7 @@ import time
 import numpy as np
 
 BASELINE_EMB_PER_SEC = 2000.0
-BATCH, SEQ, N_ITERS = 256, 304, 8
+BATCH, SEQ, N_ITERS = 512, 304, 8
 
 
 def model_flops_per_seq(cfg, T: int) -> float:
@@ -81,7 +85,8 @@ def main() -> None:
     from sgpt_tpu.models.decoder import forward
     from sgpt_tpu.ops.pooling import weighted_mean_pool, normalize
 
-    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default")
+    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
+                                  fused_attention=jax.default_backend() == "tpu")
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
 
     rng = np.random.default_rng(0)

@@ -115,14 +115,24 @@ class EmbeddingEngine:
         cache_dir: Optional[str] = None,
         mesh=None,
         sp_mesh=None,
+        fused_attention: Optional[bool] = None,
     ):
         """mesh: data-parallel encode (batch shards over dp). sp_mesh:
         SEQUENCE-parallel encode — ring attention over the mesh axis for docs
         longer than one chip's attention budget (mutually exclusive with mesh;
-        T must divide by the sp axis size, so pick max_seq_len accordingly)."""
+        T must divide by the sp axis size, so pick max_seq_len accordingly).
+
+        fused_attention: None (default) = auto — enable the fused short-T
+        kernel on TPU backends (measured ~1.8x the XLA attention at BEIR
+        encode shapes, docs/PERF.md); True/False force it on/off."""
         if mesh is not None and sp_mesh is not None:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
+        if fused_attention is None:
+            fused_attention = (sp_mesh is None
+                               and jax.default_backend() == "tpu")
+        if fused_attention != cfg.fused_attention:
+            cfg = cfg.replace(fused_attention=fused_attention)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

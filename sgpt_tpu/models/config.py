@@ -57,6 +57,12 @@ class DecoderConfig:
     # Use the Pallas flash-attention kernel (ops/pallas/flash_attention.py) when
     # sequence length permits (T % 128 == 0). Forward-only: serving/scoring.
     use_flash: bool = False
+    # Use the fused short-T attention kernel (ops/pallas/short_attention.py)
+    # when T <= 512: keeps the (T, T) scores in VMEM — measured ~1.8x faster
+    # than the XLA attention at the BEIR encode shape (docs/PERF.md).
+    # Differentiable (custom VJP recomputes via XLA). EmbeddingEngine enables
+    # this automatically on the TPU backend.
+    fused_attention: bool = False
 
     @property
     def head_size(self) -> int:

@@ -1,0 +1,157 @@
+"""Fused short-sequence causal attention — the BEIR-encode hot kernel.
+
+Motivation (measured, docs/PERF.md): at the flagship encode shape (B=256,
+T=304, GPT-Neo-125M) the XLA attention path spends >50% of the forward on the
+(B, H, T, T) fp32 score round-trips to HBM — ~5 GB per layer of traffic for
+6% of the FLOPs. Flash attention does not help at this T (block overheads and
+bucket padding cost more than they save — tools/bench_flash_vs_xla.py).
+
+This kernel targets exactly the short-T regime instead:
+  * one grid step per batch row; all H heads loop inside the step,
+  * q/k/v stay in the (B, T, H*Dh) projection layout — no transposes anywhere,
+    each head is a contiguous 64-lane column slice,
+  * the full (T, T) score matrix lives in VMEM only: matmul → mask → fp32
+    softmax → (bf16 probs) @ v, nothing round-trips to HBM,
+  * numerics REPLICATE the XLA path bit-for-bit-close: fp32 scores, -1e9
+    additive mask, fp32 softmax, probs cast to the activation dtype before
+    the AV matmul with fp32 accumulation (models/decoder.py:attention).
+
+Covers all three families: optional 1/sqrt(Dh) scaling (GPT-J), sliding
+window (GPT-Neo local layers), ALiBi (BLOOM; raw key index == BLOOM's
+cumsum-1 position because padded keys are masked), key padding mask.
+
+Differentiable: custom VJP recomputes the backward through an identical-math
+XLA reference, so training uses this kernel's fast forward and XLA's exact
+gradients.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9  # the XLA path's mask constant (decoder.NEG_INF); plain python
+            # float — a jnp scalar would be a captured tracer in the kernel
+
+
+def _kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, *,
+            scale: float, window: int, H: int, Dh: int, use_alibi: bool):
+    T = q_ref.shape[1]
+    km = keymask_ref[0, 0, :] > 0                                  # (T,)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = kpos <= qpos
+    if window > 0:
+        mask = jnp.logical_and(mask, kpos > qpos - window)
+    mask = jnp.logical_and(mask, km[None, :])
+    kpos_f = kpos.astype(jnp.float32) if use_alibi else None
+
+    for h in range(H):
+        sl = pl.dslice(h * Dh, Dh)
+        q = q_ref[0, :, sl]                                        # (T, Dh)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        if use_alibi:
+            s = s + slopes_ref[0, 0, h] * kpos_f
+        s = jnp.where(mask, s, NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _reference_hd(q2, k2, v2, key_mask, slopes, *, scale: float, window: int,
+                  H: int, use_alibi: bool):
+    """Identical math via XLA einsums (the decoder.attention recipe) — the
+    custom-VJP backward and the parity oracle."""
+    B, T, HD = q2.shape
+    Dh = HD // H
+    q = q2.reshape(B, T, H, Dh)
+    k = k2.reshape(B, T, H, Dh)
+    v = v2.reshape(B, T, H, Dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    i = jnp.arange(T)
+    mask = i[None, :] <= i[:, None]
+    if window > 0:
+        mask = jnp.logical_and(mask, i[None, :] > i[:, None] - window)
+    mask = jnp.logical_and(mask[None, None],
+                           (key_mask > 0)[:, None, None, :])
+    if use_alibi:
+        s = s + (slopes[None, :, None, None]
+                 * jnp.arange(T, dtype=jnp.float32)[None, None, None, :])
+    s = jnp.where(mask, s, NEG)
+    p = jax.nn.softmax(s, axis=-1).astype(q2.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(B, T, HD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def short_attention(q2, k2, v2, key_mask, slopes,
+                    scale: float, window: int, H: int, use_alibi: bool):
+    """q2/k2/v2: (B, T, H*Dh) projection outputs (post-rope, pre-head-split).
+    key_mask: (B, T). slopes: (H,) fp32 (zeros when use_alibi=False).
+    Returns (B, T, H*Dh)."""
+    return _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
+                                     scale, window, H, use_alibi)
+
+
+def _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
+                              scale, window, H, use_alibi,
+                              interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, HD = q2.shape
+    Dh = HD // H
+    kernel = functools.partial(_kernel, scale=scale, window=window,
+                               H=H, Dh=Dh, use_alibi=use_alibi)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            # 3D with a singleton middle axis: Mosaic requires the last two
+            # block dims divisible by (8, 128) OR equal to the array dims
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # key mask
+            pl.BlockSpec((1, 1, H), lambda b: (0, 0, 0)),  # alibi slopes
+            pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q2.dtype),
+        interpret=interpret,
+    )(key_mask.astype(jnp.int32).reshape(B, 1, T),
+      slopes.reshape(1, 1, H).astype(jnp.float32), q2, k2, v2)
+
+
+def _fwd(q2, k2, v2, key_mask, slopes, scale, window, H, use_alibi):
+    out = _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
+                                    scale, window, H, use_alibi)
+    return out, (q2, k2, v2, key_mask, slopes)
+
+
+def _bwd(scale, window, H, use_alibi, res, g):
+    q2, k2, v2, key_mask, slopes = res
+    # exact gradients through the identical-math XLA reference (recompute)
+    def f(q2_, k2_, v2_):
+        return _reference_hd(q2_, k2_, v2_, key_mask, slopes, scale=scale,
+                             window=window, H=H, use_alibi=use_alibi)
+    _, vjp = jax.vjp(f, q2, k2, v2)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+short_attention.defvjp(_fwd, _bwd)

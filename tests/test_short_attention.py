@@ -1,0 +1,99 @@
+"""Fused short-T attention kernel == XLA attention path, all families."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgpt_tpu.models import tiny, init_params
+from sgpt_tpu.models.decoder import forward
+from sgpt_tpu.ops.pallas.short_attention import _reference_hd, short_attention
+
+
+@pytest.mark.parametrize("family", ["neo", "gptj", "bloom"])
+def test_fused_forward_matches_xla(family):
+    """Full decoder forward with fused_attention == the XLA attention path.
+    Covers rope (gptj), alibi (bloom), local/global alternation (neo)."""
+    cfg = tiny(family, num_layers=2, hidden_size=64, num_heads=4,
+               max_position_embeddings=128)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, T = 2, 48
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[1, 40:] = 0
+    mask = jnp.asarray(mask)
+
+    want = np.asarray(forward(params, ids, mask, cfg))
+    got = np.asarray(forward(params, ids, mask,
+                             cfg.replace(fused_attention=True)))
+    m = np.asarray(mask)[:, :, None]
+    assert (np.abs(got - want) * m).max() < 2e-4
+
+
+def test_fused_kernel_matches_reference_variants():
+    rng = np.random.default_rng(1)
+    B, T, H, Dh = 2, 40, 4, 16
+    km = np.ones((B, T), np.int32)
+    km[1, 30:] = 0
+    km = jnp.asarray(km)
+    for scale, window, alibi in ((1.0, 0, False), (0.25, 0, False),
+                                 (1.0, 16, False), (1.0, 0, True)):
+        q2 = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        k2 = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        v2 = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+        slopes = (jnp.asarray(rng.random(H), jnp.float32) if alibi
+                  else jnp.zeros((H,), jnp.float32))
+        got = short_attention(q2, k2, v2, km, slopes, scale, window, H, alibi)
+        want = _reference_hd(q2, k2, v2, km, slopes, scale=scale,
+                             window=window, H=H, use_alibi=alibi)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    """custom-VJP backward (XLA recompute) == differentiating the reference."""
+    rng = np.random.default_rng(2)
+    B, T, H, Dh = 2, 24, 2, 8
+    km = jnp.ones((B, T), jnp.int32)
+    slopes = jnp.zeros((H,), jnp.float32)
+    q2, k2, v2 = (jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+                  for _ in range(3))
+
+    def f(a, b, c):
+        return jnp.sum(short_attention(a, b, c, km, slopes, 0.5, 0, H, False) ** 2)
+
+    def fr(a, b, c):
+        return jnp.sum(_reference_hd(a, b, c, km, slopes, scale=0.5, window=0,
+                                     H=H, use_alibi=False) ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q2, k2, v2)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_trainer_step_runs():
+    """BitFit training through the fused forward (custom-VJP path)."""
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
+
+    cfg = tiny("neo", num_layers=1, hidden_size=32, num_heads=2,
+               vocab_size=256).replace(fused_attention=True)
+    trainer = ContrastiveTrainer(
+        init_params(cfg, jax.random.key(0)), cfg,
+        SimpleTokenizer(vocab_size=256),
+        TrainConfig(batch_size=4, max_seq_len=16, lr=1e-3,
+                    freeze_nonbias=True))
+    batch = [(f"a {i}", f"p {i}") for i in range(4)]
+    out = trainer.fit(lambda: iter([batch, batch]), steps_per_epoch=2)
+    losses = [h["loss"] for h in out["history"] if "loss" in h]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+
+
+def test_fused_falls_back_on_long_T():
+    cfg = tiny("neo", max_position_embeddings=1024).replace(fused_attention=True)
+    params = init_params(cfg, jax.random.key(0))
+    ids = jnp.zeros((1, 640), jnp.int32)   # > 512 cap -> XLA path
+    out = forward(params, ids, jnp.ones_like(ids), cfg)
+    assert out.shape == (1, 640, cfg.hidden_size)
