@@ -83,4 +83,9 @@ def build_model(model_name: str, *, random_init: bool = False,
         if dtype != jnp.float32:
             cfg = cfg.replace(matmul_precision="default")
     tokenizer = get_tokenizer(None if random_init else model_name)
+    if jax.default_backend() == "tpu":
+        # fused short-T attention kernel everywhere on TPU (CE scoring and
+        # training included): ~1.8x the XLA attention at T <= 512; the
+        # decoder falls back automatically beyond the T cap (docs/PERF.md)
+        cfg = cfg.replace(fused_attention=True)
     return params, cfg, tokenizer
