@@ -49,9 +49,13 @@ def main(args=None):
     corpus, queries, qrels = load_beir_dataset(data_path, split)
     logger.info("%d docs, %d queries", len(corpus), len(queries))
 
+    k_values = [k for k in (1, 3, 5, 10, 100, 1000) if k <= args.topk]
+    if args.topk not in k_values:
+        # retrieval depth = max(k_values): honor a non-standard --topk
+        # instead of silently quantizing down to the nearest standard cutoff
+        k_values.append(args.topk)
     retriever = EvaluateRetrieval(BM25Retriever(k1=args.k1, b=args.b),
-                                  k_values=[k for k in (1, 3, 5, 10, 100, 1000)
-                                            if k <= args.topk])
+                                  k_values=k_values)
     results = retriever.retrieve(corpus, queries)  # top_k = max k_value
     with open(out, "w") as f:
         json.dump(results, f)

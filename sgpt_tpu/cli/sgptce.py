@@ -42,7 +42,12 @@ def parse_args():
     p.add_argument("--maxseqlen", type=int, default=None)
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--output", default=None)
+    p.add_argument("--output", default=None,
+                   help="per-dataset result json; with a comma --prompt list "
+                        "the prompt id is inserted before the extension")
+    p.add_argument("--scores-out", default="./sgptce_ndcgs.json",
+                   dest="scores_out",
+                   help="cross-dataset accumulation file ('' disables)")
     add_mesh_args(p)
     return p.parse_args()
 
@@ -108,14 +113,21 @@ def main(args=None):
 
         # cross-dataset accumulation with CQADupStack forum averaging — the
         # reference's beir_{model}_prompt{id}_ndcgs.json loop (sgptce.py:407-475)
-        store = ResultsStore(path="./sgptce_ndcgs.json")
-        store.add(f"{args.modelpath.replace('/', '_')}_prompt{prompt_id}",
-                  args.dataset.replace("/", "_"), ndcg_ce, _map, recall,
-                  precision)
-        store.save()
+        if getattr(args, "scores_out", ""):
+            store = ResultsStore(path=args.scores_out)
+            store.add(f"{args.modelpath.replace('/', '_')}_prompt{prompt_id}",
+                      args.dataset.replace("/", "_"), ndcg_ce, _map, recall,
+                      precision)
+            store.save()
 
-        out = (args.output if args.output and len(prompt_ids) == 1
-               else f"./sgptce_{args.dataset}_prompt{prompt_id}.json")
+        ds = args.dataset.replace("/", "_")  # cqadupstack/android etc.
+        if args.output and len(prompt_ids) == 1:
+            out = args.output
+        elif args.output:  # comma list: keep the user's path, tag the prompt
+            root, ext = os.path.splitext(args.output)
+            out = f"{root}_prompt{prompt_id}{ext or '.json'}"
+        else:
+            out = f"./sgptce_{ds}_prompt{prompt_id}.json"
         with open(out, "w") as f:
             json.dump({"dataset": args.dataset, "model": args.modelpath,
                        "prompt": prompt_id, "fewshot": shots is not None,

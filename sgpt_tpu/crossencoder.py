@@ -161,9 +161,17 @@ class YesNoRanker(CrossEncoderRanker):
         self.continuation = continuation
         if self.fewshot_prefix:
             # the reference appends the expected answer to the few-shot
-            # example (GPTYesRanker: fewshots = start.format(...) + continuation)
+            # example and tokenizes the WHOLE string once (GPTYesRanker:
+            # fewshots = start.format(...) + continuation, then
+            # instruction_len += len(tokenize(fewshots))) — summing separate
+            # encodes would miscount across BPE merge boundaries
+            # (e.g. 'Bot: ' + 'Yes' retokenizes as ...' Yes')
+            prompt_part = (len(tokenizer.encode(
+                prompt_doc[: prompt_doc.index("{")]))
+                if self.use_prompt else 0)
             self.fewshot_prefix += continuation
-            self.instruction_len += len(tokenizer.encode(continuation))
+            self.instruction_len = prompt_part + len(
+                tokenizer.encode(self.fewshot_prefix))
 
     def predict(self, sentences: Sequence[Tuple[str, str]],
                 batch_size: Optional[int] = None, **kw) -> List[float]:

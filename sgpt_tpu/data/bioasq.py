@@ -49,6 +49,10 @@ def _parse_allmesh_line(line: str) -> Optional[dict]:
     if txt_idx == -1 or pmid_idx == -1:
         return None
     text = line[txt_idx + len(start_txt): pmid_idx]
+    if title_idx == -1:  # no title marker: pmid runs to the closing quote
+        pmid = line[pmid_idx + len(start_pmid):]
+        pmid = pmid[: pmid.find('"')] if '"' in pmid else pmid
+        return {"_id": pmid, "title": "", "text": text}
     pmid = line[pmid_idx + len(start_pmid): title_idx]
     title = line[title_idx + len(start_title):]
     end = title.find('."}')

@@ -129,7 +129,10 @@ class EmbeddingEngine:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
         if fused_attention is None:
-            fused_attention = (sp_mesh is None
+            # auto only single-device: the Pallas kernel has no SPMD
+            # partitioning rule, so dp-mesh encode stays on the XLA path
+            # (force fused_attention=True to override knowingly)
+            fused_attention = (sp_mesh is None and mesh is None
                                and jax.default_backend() == "tpu")
         if fused_attention != cfg.fused_attention:
             cfg = cfg.replace(fused_attention=fused_attention)

@@ -31,9 +31,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so_path = os.path.join(_NATIVE_DIR, "libtrec_eval.so")
+    cpp_path = os.path.join(_NATIVE_DIR, "trec_eval.cpp")
     try:
-        if not os.path.exists(so_path):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        stale = (os.path.exists(so_path) and os.path.exists(cpp_path)
+                 and os.path.getmtime(cpp_path) > os.path.getmtime(so_path))
+        if not os.path.exists(so_path) or stale:
+            # a stale .so is worse than none: an ABI change (e.g. the r2
+            # float32→float64 scores) would silently misread every buffer
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(so_path)
         lib.evaluate_queries.argtypes = [

@@ -42,7 +42,9 @@ class DenseIndex:
         self.normalize = normalize_embeddings
         self.mesh = mesh
         self.block_size = block_size
-        self.slab_size = max(slab_size, block_size)
+        # slab must tile by blocks; round up so the padding math below can
+        # guarantee shard_n % slab_size == 0 whenever shards exceed the slab
+        self.slab_size = _round_up(max(slab_size, block_size), block_size)
         self.dtype = dtype
         self.kernel = kernel
         if kernel == "pallas" and mesh is not None:
@@ -82,8 +84,7 @@ class DenseIndex:
         idx._count = n
         idx._ids = list(ids) if ids is not None else [str(i) for i in range(n)]
         n_dev = mesh.shape["dp"] if mesh is not None else 1
-        granularity = block_size * n_dev
-        n_pad = max(_round_up(n, granularity), granularity)
+        n_pad = idx._padded_size(n, n_dev)
         if n_pad != n:
             pad = jnp.zeros((n_pad - n, dim), corpus.dtype)
             corpus = jnp.concatenate([corpus, pad])
@@ -94,14 +95,23 @@ class DenseIndex:
         idx._search_fn = idx._make_search_fn()
         return idx
 
+    def _padded_size(self, n: int, n_dev: int) -> int:
+        """Corpus rows after padding: multiple of block_size*n_dev, and — when
+        a shard would exceed the slab budget — of slab_size*n_dev, so the
+        per-shard slab scan always tiles evenly (never silently falls back to
+        one whole-shard slab, which would defeat the HBM budget)."""
+        granularity = self.block_size * n_dev
+        if n > self.slab_size * n_dev:
+            granularity = self.slab_size * n_dev
+        return max(_round_up(n, granularity), granularity)
+
     def build(self):
         """Pad to static shape and place on device(s)."""
         emb = np.concatenate(self._chunks, axis=0) if self._chunks else \
             np.zeros((0, self.dim), np.float32)
         self._count = emb.shape[0]
         n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
-        granularity = self.block_size * n_dev
-        n_pad = max(_round_up(self._count, granularity), granularity)
+        n_pad = self._padded_size(self._count, n_dev)
         padded = np.zeros((n_pad, self.dim), np.float32)
         padded[: self._count] = emb
         arr = jnp.asarray(padded, self.dtype)
