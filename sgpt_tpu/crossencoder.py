@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.config import DecoderConfig
-from .ops.logprobs import continuation_scores
+from .ops.logprobs import continuation_scores_gathered
 from .tokenization.base import Tokenizer
 from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket
 
@@ -104,24 +104,33 @@ class CrossEncoderRanker:
             maxlen = max(r[1] for r in rows)
             T = pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length)
             T = max(T, maxlen)
+            # static continuation-window bucket: the LM head runs only on
+            # these C positions (ops/logprobs.continuation_scores_gathered) —
+            # the (B, T, 50k) logits tensor never materializes
+            maxcont = max(r[2] for r in rows)
+            C = pick_bucket(maxcont, (8, 16, 32, 64, 128, 256), T)
+            C = max(C, maxcont)
 
             ids = np.zeros((B, T), np.int32)
-            targets = np.zeros((B, T), np.int32)
-            tmask = np.zeros((B, T), np.float32)
+            cpos = np.zeros((B, C), np.int32)
+            ctgt = np.zeros((B, C), np.int32)
+            cmask = np.zeros((B, C), np.float32)
             for bi, ((ctx, cont), (inp, inplen, contlen)) in enumerate(zip(batch, rows)):
                 ids[bi, :inplen] = inp
                 # logits at position t predict token t+1: the continuation
                 # occupies input positions [inplen-contlen, inplen) in the
                 # shifted frame (sgptce.py diagram at :175-181)
                 cont_ids = list(batch[bi][1])[-contlen:]
-                targets[bi, inplen - contlen : inplen] = cont_ids
-                tmask[bi, inplen - contlen : inplen] = 1.0
+                cpos[bi, :contlen] = np.arange(inplen - contlen, inplen)
+                ctgt[bi, :contlen] = cont_ids
+                cmask[bi, :contlen] = 1.0
             # causal attention: right padding cannot influence scored positions,
             # so a full-ones mask is safe (the reference passes no mask at all)
             amask = np.ones((B, T), np.int32)
-            out = continuation_scores(self.params, jnp.asarray(ids), jnp.asarray(amask),
-                                      jnp.asarray(targets), jnp.asarray(tmask),
-                                      self.cfg, self.vocab_mask)
+            out = continuation_scores_gathered(
+                self.params, jnp.asarray(ids), jnp.asarray(amask),
+                jnp.asarray(cpos), jnp.asarray(ctgt), jnp.asarray(cmask),
+                self.cfg, self.vocab_mask)
             out = np.asarray(out, np.float64)
             for bi, key in enumerate(batch):
                 for orig in uniq[key]:

@@ -44,6 +44,34 @@ def continuation_scores(params, input_ids, attention_mask, targets, target_mask,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def continuation_scores_gathered(params, input_ids, attention_mask,
+                                 cont_positions, cont_targets, cont_mask,
+                                 cfg: DecoderConfig,
+                                 vocab_mask: Optional[jax.Array] = None):
+    """continuation_scores with the LM head applied ONLY at the scored
+    positions: hidden states gather to (B, C) continuation windows BEFORE the
+    vocab projection, so the (B, T, V) logits tensor (50k-wide fp32, plus its
+    log_softmax traffic) never materializes. C ~ 16-64 vs T ~ 256-2048 makes
+    the head ~T/C times cheaper. Mathematically identical to the full scorer
+    (each position's logits are independent).
+
+    cont_positions: (B, C) int32 input positions whose next-token logprobs are
+    scored (clipped in-range for padding slots); cont_targets/cont_mask: (B, C).
+    """
+    h = forward(params, input_ids, attention_mask, cfg)
+    hc = jnp.take_along_axis(
+        h, cont_positions[..., None].astype(jnp.int32), axis=1)     # (B, C, D)
+    lg = logits(params, hc, cfg).astype(jnp.float32)                # (B, C, V)
+    if vocab_mask is not None:
+        lg = jnp.where(vocab_mask[None, None, :], lg, jnp.float32(-jnp.inf))
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, cont_targets[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    tok_lp = jnp.where(cont_mask.astype(bool), tok_lp, 0.0)
+    return jnp.sum(tok_lp, axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def greedy_continuations(params, input_ids, attention_mask, cfg: DecoderConfig):
     """Argmax next-token ids (B, T) — for greedy-match diagnostics."""
     h = forward(params, input_ids, attention_mask, cfg)

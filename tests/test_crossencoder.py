@@ -98,3 +98,50 @@ def test_rerank_driver(setup):
     out = rerank(ranker, corpus, queries, first, top_k=2)
     assert set(out["q0"]) == {"d0", "d1"}  # only top-2 first-stage docs rescored
     assert all(isinstance(v, float) for v in out["q0"].values())
+
+
+def test_gathered_scorer_matches_full():
+    """continuation_scores_gathered == continuation_scores (the LM head at
+    only the scored positions is mathematically identical)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sgpt_tpu.models import tiny, init_params
+    from sgpt_tpu.ops.logprobs import (continuation_scores,
+                                       continuation_scores_gathered)
+
+    cfg = tiny("neo", num_layers=1, hidden_size=32, num_heads=2, vocab_size=128)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, T, C = 3, 24, 8
+    ids = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    amask = jnp.ones((B, T), jnp.int32)
+    # per-row continuation windows of varying length at varying offsets
+    full_t = np.zeros((B, T), np.int32)
+    full_m = np.zeros((B, T), np.float32)
+    cpos = np.zeros((B, C), np.int32)
+    ctgt = np.zeros((B, C), np.int32)
+    cmask = np.zeros((B, C), np.float32)
+    for b, (start, n) in enumerate(((4, 5), (10, 8), (0, 3))):
+        tg = rng.integers(0, 128, n)
+        full_t[b, start:start + n] = tg
+        full_m[b, start:start + n] = 1.0
+        cpos[b, :n] = np.arange(start, start + n)
+        ctgt[b, :n] = tg
+        cmask[b, :n] = 1.0
+    want = continuation_scores(params, ids, amask, jnp.asarray(full_t),
+                               jnp.asarray(full_m), cfg)
+    got = continuation_scores_gathered(params, ids, amask, jnp.asarray(cpos),
+                                       jnp.asarray(ctgt), jnp.asarray(cmask),
+                                       cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # vocab-restricted variant too
+    vm = np.zeros(128, bool); vm[:64] = True
+    want_v = continuation_scores(params, ids, amask, jnp.asarray(full_t % 64),
+                                 jnp.asarray(full_m), cfg, jnp.asarray(vm))
+    got_v = continuation_scores_gathered(params, ids, amask, jnp.asarray(cpos),
+                                         jnp.asarray(ctgt % 64),
+                                         jnp.asarray(cmask), cfg,
+                                         jnp.asarray(vm))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=1e-6)

@@ -25,25 +25,30 @@ def bench(batch: int) -> dict:
     import jax.numpy as jnp
 
     from sgpt_tpu.models import gpt_neo, init_params, cast_params
-    from sgpt_tpu.ops.logprobs import continuation_scores
+    from sgpt_tpu.ops.logprobs import continuation_scores_gathered
 
-    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default")
+    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
+                                  fused_attention=jax.default_backend() == "tpu")
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     base_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, SEQ)), jnp.int32)
     mask = jnp.ones((batch, SEQ), jnp.int32)
-    targets = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, SEQ)), jnp.int32)
-    # last ~12 positions are the query continuation (typical BEIR query length)
-    tmask_np = np.zeros((batch, SEQ), np.float32)
-    tmask_np[:, -12:] = 1.0
-    tmask = jnp.asarray(tmask_np)
+    # ~12-token continuations (typical BEIR query length) in a C=16 window —
+    # the production path (crossencoder.score_pairs) uses the gathered scorer
+    C = 16
+    cpos = jnp.asarray(np.tile(np.arange(SEQ - C, SEQ), (batch, 1)), jnp.int32)
+    ctgt = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, C)), jnp.int32)
+    cm = np.zeros((batch, C), np.float32)
+    cm[:, -12:] = 1.0
+    cmask = jnp.asarray(cm)
 
     @jax.jit
     def score_many(params, base_ids):
         def step(acc, i):
             ids = (base_ids + i) % cfg.vocab_size
-            s = continuation_scores(params, ids, mask, targets, tmask, cfg)
+            s = continuation_scores_gathered(params, ids, mask, cpos, ctgt,
+                                             cmask, cfg)
             return acc + jnp.sum(s), None
         acc, _ = jax.lax.scan(step, jnp.float32(0.0),
                               jnp.arange(N_ITERS, dtype=jnp.int32))
