@@ -21,12 +21,16 @@ measured matmul peak).
 Measurement is dispatch/cache-proof: N_ITERS batches run inside ONE jit via
 lax.scan with per-step varying token ids, and the timing ends on a host fetch
 of the result checksum — remote-execution layers can neither memoize repeated
-identical dispatches nor acknowledge before the chain completes.
+identical dispatches nor acknowledge before the chain completes. The model
+rate is best-of-3 reps (the shared dev tile swings ±10% run to run).
 
 MFU denominator: a dense bf16 matmul peak measured ON THIS DEVICE at the same
-sitting (8192³ scan chain — 162 TF/s observed on the dev tile, i.e. ~82% of a
-full v5e's 197 TF/s spec), so "slow tile" and "slow code" are separable: mfu
-is achieved model FLOP/s over what the tile demonstrably can do.
+sitting — a DEPENDENT 8192³ chain (each product feeds the next matmul, so no
+elementwise/reduce traffic dilutes the rate), 16 matmuls per dispatch to
+amortize the ~30ms relay dispatch latency, best-of-3, sampled before AND
+after the model reps (max of all samples; ~139 TF/s observed, ~70% of a full
+v5e's 197 TF/s spec). Model FLOPs are counted causally (useful work), so mfu
+is achieved useful FLOP/s over what the tile demonstrably can do.
 
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6). The
 denominator is a computed reference point for the reference implementation on
@@ -45,14 +49,18 @@ BATCH, SEQ, N_ITERS = 512, 304, 8
 
 
 def model_flops_per_seq(cfg, T: int) -> float:
-    """Dense decoder FLOPs for one sequence (2·MACs; full causal window)."""
+    """Required dense decoder FLOPs for one sequence (2·MACs).
+
+    Attention counted CAUSALLY (avg window (T+1)/2 keys per query), i.e.
+    useful FLOPs — the fused kernel actually computes the full (T, T) score
+    tile, but the masked half is waste, not achievement."""
     D, L = cfg.hidden_size, cfg.num_layers
     F = getattr(cfg, "intermediate_size", None) or 4 * D
-    per_token = L * (8 * D * D + 4 * D * F + 4 * T * D)
+    per_token = L * (8 * D * D + 4 * D * F + 4 * ((T + 1) // 2) * D)
     return float(per_token) * T
 
 
-def measure_tile_peak_tflops(size: int = 8192, iters: int = 8) -> float:
+def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
     """Dense bf16 matmul rate this device achieves right now (MFU denominator)."""
     import jax
     import jax.numpy as jnp
@@ -62,19 +70,23 @@ def measure_tile_peak_tflops(size: int = 8192, iters: int = 8) -> float:
 
     @jax.jit
     def chain(a, b):
-        def step(acc, i):
-            out = (a + i.astype(jnp.bfloat16)) @ b
-            return acc + jnp.sum(out.astype(jnp.float32)), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0),
-                              jnp.arange(iters, dtype=jnp.int32))
-        return acc
+        # Each product feeds the next matmul: the consumption IS the next
+        # step's operand read, so no elementwise/reduce HBM traffic dilutes
+        # the measured rate (a dependent chain also can't be hoisted/fused).
+        def step(c, _):
+            return c @ b, None
+        c, _ = jax.lax.scan(step, a, None, length=iters)
+        return jnp.sum(c.astype(jnp.float32))
 
     float(chain(a, b))  # compile + warm
-    t0 = time.perf_counter()
-    checksum = float(chain(a, b))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    return 2.0 * size ** 3 * iters / dt / 1e12
+    best = 0.0
+    for _ in range(3):  # the shared tile's rate swings ±10% run to run
+        t0 = time.perf_counter()
+        checksum = float(chain(a, b))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        best = max(best, 2.0 * size ** 3 * iters / dt / 1e12)
+    return best
 
 
 def main() -> None:
@@ -110,14 +122,24 @@ def main() -> None:
     # compile + warm
     float(embed_many(params, base_ids, mask))
 
-    t0 = time.perf_counter()
-    checksum = float(embed_many(params, base_ids + 1, mask))  # host fetch = sync
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
+    # The dev tile is SHARED: throughput swings run-to-run (observed 78-118
+    # TF/s on the identical matmul chain minutes apart). Best-of-N on both
+    # the model measurement and the peak denominator — and sample the peak
+    # both before and after the model runs — so one unlucky co-scheduled
+    # interval doesn't set the recorded number or push MFU past 1.
+    peaks = [measure_tile_peak_tflops()]
+    rates = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        checksum = float(embed_many(params, base_ids + rep + 1, mask))  # host fetch = sync
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        rates.append(N_ITERS * BATCH / dt)
+    peaks.append(measure_tile_peak_tflops())
 
-    emb_per_sec = N_ITERS * BATCH / dt
+    emb_per_sec = max(rates)
     achieved_tflops = emb_per_sec * model_flops_per_seq(cfg, SEQ) / 1e12
-    peak_tflops = measure_tile_peak_tflops()
+    peak_tflops = max(peaks)
     print(json.dumps({
         "metric": "embeddings_per_sec_per_chip",
         "value": round(emb_per_sec, 1),

@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--randominit", action="store_true",
                    help="random weights (smoke/debug; reference --reinit)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8-quantize decoder projections for encode "
+                        "(~1.4x at >=2.7B dims; see docs/PERF.md)")
     p.add_argument("--topk", type=int, default=1000)
     p.add_argument("--expect-ndcg", type=float, default=None, dest="expect_ndcg",
                    help="assert nDCG@10 >= this value minus --ndcg-tol (exit 1 "
@@ -81,7 +84,7 @@ def main(args=None):
     engine = EmbeddingEngine(
         params, cfg, tokenizer, method=args.method, specb=args.specb,
         layeridx=args.layeridx, max_seq_len=args.maxseqlen,
-        batch_size=args.batchsize, mesh=mesh,
+        batch_size=args.batchsize, mesh=mesh, quantize=args.quantize,
         cache_dir=(f"embeddings/{args.modelname.split('/')[-1]}/"
                    f"{args.method}/{args.dataset}" if args.saveemb else None))
 

@@ -28,6 +28,9 @@ def parse_args():
                    default=["askubuntu", "cqadupstack", "twitterpara", "scidocs"])
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8-quantize decoder projections for encode "
+                        "(~1.4x at >=2.7B dims; see docs/PERF.md)")
     p.add_argument("--output", default="./useb_results.json")
     return p.parse_args()
 
@@ -44,7 +47,8 @@ def main(args=None):
                                          dtype_str=args.dtype)
     engine = EmbeddingEngine(params, cfg, tokenizer, method=args.method,
                              specb=args.specb, layeridx=args.layeridx,
-                             max_seq_len=args.maxseqlen, batch_size=args.batchsize)
+                             max_seq_len=args.maxseqlen,
+                             batch_size=args.batchsize, quantize=args.quantize)
 
     semb_fns = {task: engine.encode for task in args.tasks}
     results, mains = run(semb_fns, eval_type=args.evaltype,

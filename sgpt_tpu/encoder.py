@@ -116,6 +116,7 @@ class EmbeddingEngine:
         mesh=None,
         sp_mesh=None,
         fused_attention: Optional[bool] = None,
+        quantize: Optional[str] = None,
     ):
         """mesh: data-parallel encode (batch shards over dp). sp_mesh:
         SEQUENCE-parallel encode — ring attention over the mesh axis for docs
@@ -124,7 +125,14 @@ class EmbeddingEngine:
 
         fused_attention: None (default) = auto — enable the fused short-T
         kernel on TPU backends (measured ~1.8x the XLA attention at BEIR
-        encode shapes, docs/PERF.md); True/False force it on/off."""
+        encode shapes, docs/PERF.md); True/False force it on/off.
+
+        quantize: "int8" replaces the decoder's projection kernels with
+        per-channel int8 + dynamic per-token activation quantization
+        (ops/quant.py) — ~1.4x encode throughput at 2.7B dims on the MXU's
+        double-rate int8 path, cosine vs bf16 >= 0.999. Not worth it below
+        ~1B params (the per-token quantize overhead beats the matmul saving
+        at small hidden sizes; measured 0.93x at 125M — docs/PERF.md)."""
         if mesh is not None and sp_mesh is not None:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
@@ -136,6 +144,13 @@ class EmbeddingEngine:
                                and jax.default_backend() == "tpu")
         if fused_attention != cfg.fused_attention:
             cfg = cfg.replace(fused_attention=fused_attention)
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}; "
+                                 "supported: 'int8'")
+            from .ops.quant import quantize_decoder_params
+            params = quantize_decoder_params(params)
+        self.quantize = quantize
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

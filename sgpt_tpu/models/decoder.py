@@ -95,7 +95,11 @@ def build_alibi_bias(attention_mask: jax.Array, num_heads: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _project(x, w, b):
-    y = jnp.einsum("btd,df->btf", x, w.astype(x.dtype))
+    if isinstance(w, dict):  # int8-quantized leaf {"q", "s"} (ops/quant.py)
+        from ..ops.quant import int8_project
+        y = int8_project(x, w)
+    else:
+        y = jnp.einsum("btd,df->btf", x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
