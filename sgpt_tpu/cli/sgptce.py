@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--maxseqlen", type=int, default=None)
     p.add_argument("--randominit", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8-quantize decoder projections: ~1.4x rerank at "
+                        "GPT-J/BLOOM dims and half the weight HBM (6B fits "
+                        "one v5e chip without --tp); see docs/PERF.md")
     p.add_argument("--output", default=None,
                    help="per-dataset result json; with a comma --prompt list "
                         "the prompt id is inserted before the extension")
@@ -75,7 +79,16 @@ def main(args=None):
                                          dtype_str=args.dtype)
     # TP sharding of the big CE models (GPT-J/BLOOM) — the pjit replacement for
     # the reference's device_map="auto" layer offloading (sgptce.py:54-60)
-    params = maybe_shard(params, build_mesh(args))
+    if args.quantize:
+        if args.tp > 1:
+            raise SystemExit("--quantize and --tp are mutually exclusive: the "
+                             "Megatron partition specs cover float kernels, "
+                             "not int8 {q,s} leaves (int8 usually removes the "
+                             "need for TP — half the weight HBM)")
+        from ..ops.quant import quantize_decoder_params
+        params = quantize_decoder_params(params)
+    else:
+        params = maybe_shard(params, build_mesh(args))
     fewshots = None
     if args.fewshot:
         fewshots = select_fewshot(corpus, queries, qrels, tokenizer,

@@ -42,7 +42,19 @@ class CrossEncoderRanker:
                  fewshots: Optional[Tuple[str, str]] = None,
                  prompt_doc_start: str = "{}\n{}\n",
                  batch_size: int = 16, max_length: Optional[int] = None,
-                 vocab_subset: Optional[Sequence[int]] = None):
+                 vocab_subset: Optional[Sequence[int]] = None,
+                 quantize: Optional[str] = None):
+        if quantize is not None:
+            # int8 decoder projections (ops/quant.py): ~1.4x at GPT-J/BLOOM
+            # dims AND halves weight HBM — 6B CE fits one 16GB v5e chip
+            # without TP. Scores shift by the quantization error; rankings
+            # agree with bf16 to high overlap (tests/test_quant.py).
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}; "
+                                 "supported: 'int8'")
+            from .ops.quant import quantize_decoder_params
+            params = quantize_decoder_params(params)
+        self.quantize = quantize
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -107,6 +107,27 @@ def test_engine_quantized_encode_preserves_rankings():
     np.testing.assert_array_equal(order_f, order_q)
 
 
+def test_crossencoder_quantized_ranking_agrees():
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    cfg = tiny("gptj", vocab_size=512)
+    params = init_params(cfg, jax.random.key(1))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    pairs = [("what is alpha", "alpha is a greek letter"),
+             ("what is alpha", "unrelated text about beta"),
+             ("what is alpha", "alpha alpha alpha"),
+             ("what is alpha", "gamma delta epsilon zeta")]
+    base = CrossEncoderRanker(params, cfg, tok, batch_size=4, max_length=48)
+    quant = CrossEncoderRanker(params, cfg, tok, batch_size=4, max_length=48,
+                               quantize="int8")
+    s_f = np.asarray(base.predict(pairs))
+    s_q = np.asarray(quant.predict(pairs))
+    # A random-init model scores all docs nearly identically, so rank order
+    # is noise here (the engine test covers ranking); assert the log-prob
+    # sums themselves agree to ~1% of their magnitude instead.
+    assert np.abs(s_f - s_q).max() < 0.02 * np.abs(s_f).max()
+
+
 def test_engine_rejects_unknown_quantize():
     cfg = tiny("neo")
     params = init_params(cfg, jax.random.key(0))

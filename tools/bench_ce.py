@@ -20,7 +20,7 @@ import numpy as np
 SEQ, N_ITERS = 256, 8
 
 
-def bench(batch: int) -> dict:
+def bench(batch: int, quantize: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +30,9 @@ def bench(batch: int) -> dict:
     cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
                                   fused_attention=jax.default_backend() == "tpu")
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
+    if quantize:
+        from sgpt_tpu.ops.quant import quantize_decoder_params
+        params = quantize_decoder_params(params)
 
     rng = np.random.default_rng(0)
     base_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, SEQ)), jnp.int32)
@@ -60,9 +63,12 @@ def bench(batch: int) -> dict:
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
     return {"metric": "ce_pairs_per_sec_per_chip", "batch": batch, "seq": SEQ,
+            "quantize": "int8" if quantize else None,
             "value": round(N_ITERS * batch / dt, 1), "unit": "pairs/s"}
 
 
 if __name__ == "__main__":
+    import sys
+    quantize = "--quantize" in sys.argv
     for b in (64, 128, 256):
-        print(json.dumps(bench(b)), flush=True)
+        print(json.dumps(bench(b, quantize=quantize)), flush=True)
