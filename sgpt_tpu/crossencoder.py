@@ -34,6 +34,25 @@ PROMPT_G = ('Documents are searched to find matches with the same content.\n'
             'The document "{}" is a good search result for "')
 
 
+_ROW_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _row_bucket(nmax: int) -> int:
+    """Static row-count bucket for a token-budget batch.
+
+    B is a pure function of the length bucket T (via nmax = budget // T), so
+    the jit-compile count stays bounded by the number of T buckets; final
+    partial batches pad rows and reuse the same compile. Rounds UP to the
+    next bucket when that overshoots the budget by <= 25% (bounded memory),
+    otherwise down."""
+    lo = None
+    for b in _ROW_BUCKETS:
+        if b >= nmax:
+            return b if b <= nmax * 1.25 else (lo or max(1, nmax))
+        lo = b
+    return _ROW_BUCKETS[-1]
+
+
 class CrossEncoderRanker:
     """predict([(query, doc), ...]) -> list of log-prob scores."""
 
@@ -109,13 +128,24 @@ class CrossEncoderRanker:
         keys = sorted(uniq, key=lambda kc: -len(kc[0] + kc[1]))
 
         scores = np.zeros(len(enc), np.float64)
-        B = self.batch_size
-        for s in range(0, len(keys), B):
-            batch = keys[s : s + B]
-            rows = [self._pack(list(c), list(t)) for c, t in batch]
-            maxlen = max(r[1] for r in rows)
-            T = pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length)
-            T = max(T, maxlen)
+        # Token-budget batching: rows per dispatch scale inversely with the
+        # length bucket, so every dispatch feeds the MXU roughly the same
+        # token count. The reference uses a FIXED row count regardless of
+        # length (sgptce.py:168) — short-doc batches underfill the device;
+        # measured 1.6x pairs/s on a ragged BEIR-like length mix
+        # (tools/bench_ce_ragged.py, docs/PERF.md). batch_size keeps its
+        # reference meaning: rows per dispatch at full max_length.
+        budget = self.batch_size * self.max_length
+        packed = [self._pack(list(c), list(t)) for c, t in keys]
+        i = 0
+        while i < len(keys):
+            # keys are length-descending: the first row's bucket fits all
+            T = pick_bucket(packed[i][1], DEFAULT_BUCKETS, self.max_length)
+            T = max(T, packed[i][1])
+            B = _row_bucket(max(1, budget // T))
+            batch = keys[i : i + min(B, len(keys) - i)]
+            rows = packed[i : i + len(batch)]
+            i += len(batch)
             # static continuation-window bucket: the LM head runs only on
             # these C positions (ops/logprobs.continuation_scores_gathered) —
             # the (B, T, 50k) logits tensor never materializes
