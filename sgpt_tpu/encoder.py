@@ -32,7 +32,7 @@ from .models.config import DecoderConfig
 from .models.decoder import forward
 from .ops.pooling import POOLERS, STACK_POOLERS, learned_weighted_mean_pool, normalize
 from .tokenization.base import Tokenizer
-from .tokenization.specb import SpecbCodec, pick_bucket
+from .tokenization.specb import SpecbCodec, pick_bucket, row_bucket
 
 logger = logging.getLogger(__name__)
 
@@ -196,22 +196,34 @@ class EmbeddingEngine:
                 self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
 
     # ------------------------------------------------------------------
+    def _rows_for_bucket(self, T: int) -> int:
+        """Rows per dispatch for length bucket T (token-budget batching).
+
+        budget = batch_size × max_seq_len tokens, so at full-length batches
+        this reduces to exactly batch_size rows; shorter buckets take
+        proportionally more rows. Pure function of T → one compile per
+        bucket, like the fixed-rows scheme it replaces."""
+        B = row_bucket(max(1, (self.batch_size * self.codec.max_seq_len) // T))
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            B = ((max(B, dp) + dp - 1) // dp) * dp
+        return B
+
     def warmup(self, lengths: Optional[Sequence[int]] = None):
         """Precompile the (batch, bucket) shapes a serving deployment will hit
         (first-compile latency is seconds; pay it before traffic, not during)."""
         lengths = lengths or [b for b in self.codec.buckets
                               if b <= self.codec.max_seq_len]
-        dummy = np.zeros((self.batch_size, 1), np.int32)
         for T in lengths:
-            ids = np.zeros((self.batch_size, T), np.int32)
-            mask = np.ones((self.batch_size, T), np.int32)
+            B = self._rows_for_bucket(T)
+            ids = np.zeros((B, T), np.int32)
+            mask = np.ones((B, T), np.int32)
             _embed_step(self.params, self.heads, jnp.asarray(ids),
                         jnp.asarray(mask), self.learned_weights, self.cfg,
                         self.method, self.layeridx, self.normalize,
                         self.has_learned_weights,
                         tuple(self.pre_acts), tuple(self.post_acts),
                         sp_mesh=self.sp_mesh)
-        del dummy
         return self
 
     def encode(self, texts: Sequence[str], *, is_query: bool = False,
@@ -224,14 +236,29 @@ class EmbeddingEngine:
         if cached is not None:
             return cached
 
-        # Length-sorted batching (longest first) to minimize padding waste.
-        order = np.argsort([-len(t) for t in texts], kind="stable")
+        # Tokenize once, then token-budget batching: rows per dispatch scale
+        # inversely with the length bucket so every dispatch feeds the MXU
+        # ~the same token count (batch_size keeps the reference meaning of
+        # rows-at-max_seq_len; short-text corpora like NLI/USEB no longer
+        # underfill the device — measured speedup in docs/PERF.md). Sorting
+        # is by exact token length (the reference sorts by char length,
+        # SentenceTransformer.py:148).
+        rows, n_trunc, toks_trunc = self.codec.encode_rows(texts,
+                                                           is_query=is_query)
+        if n_trunc:
+            logger.warning("Truncated %d/%d docs by %d tokens",
+                           n_trunc, len(texts), toks_trunc)
+        order = np.argsort([-len(r) for r in rows], kind="stable")
         out = np.zeros((len(texts), self.out_dim), np.float32)
-        B = self.batch_size
-        for s in range(0, len(order), B):
+        s = 0
+        while s < len(order):
+            T = pick_bucket(max(1, len(rows[order[s]])), self.codec.buckets,
+                            self.codec.max_seq_len)
+            T = max(T, len(rows[order[s]]))
+            B = self._rows_for_bucket(T)
             sel = order[s : s + B]
-            batch = [texts[i] for i in sel]
-            enc = self.codec.encode(batch, is_query=is_query)
+            s += len(sel)
+            enc = self.codec.pad_rows([rows[i] for i in sel], pad_to=T)
             ids, mask = enc.input_ids, enc.attention_mask
             if self.sp_mesh is not None:
                 # ring attention shards T over the mesh axis: right-pad the
@@ -243,13 +270,10 @@ class EmbeddingEngine:
                     ids = np.pad(ids, ((0, 0), (0, t_pad)),
                                  constant_values=self.tokenizer.pad_id)
                     mask = np.pad(mask, ((0, 0), (0, t_pad)))
-            if len(batch) < B:  # pad batch to static size
-                pad = B - len(batch)
+            if len(sel) < B:  # pad batch to static size (reuses the compile)
+                pad = B - len(sel)
                 ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))])
                 mask = np.concatenate([mask, np.tile(mask[-1:], (pad, 1))])
-            if enc.n_truncated:
-                logger.warning("Truncated %d/%d docs by %d tokens",
-                               enc.n_truncated, len(batch), enc.tokens_truncated)
             ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
             if self.mesh is not None:
                 ids_j = jax.device_put(ids_j, self._data_sharding)
@@ -260,7 +284,7 @@ class EmbeddingEngine:
                               self.has_learned_weights,
                               tuple(self.pre_acts), tuple(self.post_acts),
                               sp_mesh=self.sp_mesh)
-            out[sel] = np.asarray(emb[: len(batch)], np.float32)
+            out[sel] = np.asarray(emb[: len(sel)], np.float32)
         self._cache_store(texts, is_query, out)
         return out
 

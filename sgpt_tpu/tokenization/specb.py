@@ -13,7 +13,7 @@ beir_dense_retriever.py:201).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -41,6 +41,26 @@ def pick_bucket(max_len: int, buckets: Sequence[int], cap: int) -> int:
     return cap
 
 
+ROW_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def row_bucket(nmax: int) -> int:
+    """Static row-count bucket for token-budget batching (rows per dispatch
+    scale inversely with the length bucket, keeping B·T ≈ constant).
+
+    B is a pure function of the length bucket T (via nmax = budget // T), so
+    the jit-compile count stays bounded by the number of T buckets; final
+    partial batches pad rows and reuse the same compile. Rounds UP to the
+    next bucket when that overshoots the budget by <= 25% (bounded memory),
+    otherwise down."""
+    lo = None
+    for b in ROW_BUCKETS:
+        if b >= nmax:
+            return b if b <= nmax * 1.25 else (lo or max(1, nmax))
+        lo = b
+    return ROW_BUCKETS[-1]
+
+
 @dataclasses.dataclass
 class SpecbCodec:
     """Tokenize + (optionally) bracket + pad a batch of texts."""
@@ -62,8 +82,12 @@ class SpecbCodec:
         # Reserve 2 tokens for the brackets (beir_dense_retriever.py:134-136).
         return self.max_seq_len - 2 if self.specb else self.max_seq_len
 
-    def encode(self, texts: Sequence[str], is_query: bool = False,
-               pad_to: Optional[int] = None) -> BatchEncoding:
+    def encode_rows(self, texts: Sequence[str], is_query: bool = False
+                    ) -> Tuple[List[List[int]], int, int]:
+        """Tokenize + bracket WITHOUT padding: (rows, n_trunc, toks_trunc).
+
+        Split out so callers can batch pretokenized rows by token budget
+        (encoder.py) without tokenizing twice."""
         budget = self.budget
         rows: List[List[int]] = []
         n_trunc = toks_trunc = 0
@@ -81,7 +105,15 @@ class SpecbCodec:
                 else:
                     ids = self.bos_d + ids + self.eos_d
             rows.append(ids)
+        return rows, n_trunc, toks_trunc
 
+    def encode(self, texts: Sequence[str], is_query: bool = False,
+               pad_to: Optional[int] = None) -> BatchEncoding:
+        rows, n_trunc, toks_trunc = self.encode_rows(texts, is_query)
+        return self.pad_rows(rows, pad_to, n_trunc, toks_trunc)
+
+    def pad_rows(self, rows: Sequence[List[int]], pad_to: Optional[int] = None,
+                 n_trunc: int = 0, toks_trunc: int = 0) -> BatchEncoding:
         lengths = np.array([len(r) for r in rows], dtype=np.int32)
         max_len = max(1, int(lengths.max()) if len(lengths) else 1)
         T = pad_to if pad_to is not None else pick_bucket(max_len, self.buckets,

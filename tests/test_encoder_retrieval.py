@@ -133,3 +133,25 @@ def test_stack_pooling_methods():
         e = EmbeddingEngine(params, cfg, tok, method=method).encode(["x y z"])
         assert e.shape == (1, cfg.hidden_size)
         assert np.isfinite(e).all()
+
+
+def test_encode_token_budget_batching_matches_single():
+    """Mixed-length inputs (token-budget batching groups them into different
+    (B, T) dispatches, encoder._rows_for_bucket) must embed each text exactly
+    as encoding it alone."""
+    from sgpt_tpu.models import tiny as tiny_cfg
+
+    cfg = tiny_cfg("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    eng = EmbeddingEngine(params, cfg, tok, method="weightedmean",
+                          batch_size=2, max_seq_len=64,
+                          normalize_embeddings=True)
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"w{rng.integers(0, 50)}"
+                      for _ in range(int(n))) for n in
+             [2, 40, 3, 25, 60, 1, 12, 33, 5, 50, 8]]
+    batched = eng.encode(texts)
+    for i, t in enumerate(texts):
+        single = eng.encode([t])
+        np.testing.assert_allclose(batched[i], single[0], atol=2e-5)
