@@ -79,16 +79,14 @@ def main(args=None):
                                          dtype_str=args.dtype)
     # TP sharding of the big CE models (GPT-J/BLOOM) — the pjit replacement for
     # the reference's device_map="auto" layer offloading (sgptce.py:54-60)
+    # --quantize composes with --tp: quantize first, then shard (the
+    # partition specs cover int8 {q,s} leaves — scales follow column shards,
+    # stay replicated for row-parallel kernels). int8 alone usually removes
+    # the need for TP though: half the weight HBM fits 6B on one v5e chip.
     if args.quantize:
-        if args.tp > 1:
-            raise SystemExit("--quantize and --tp are mutually exclusive: the "
-                             "Megatron partition specs cover float kernels, "
-                             "not int8 {q,s} leaves (int8 usually removes the "
-                             "need for TP — half the weight HBM)")
         from ..ops.quant import quantize_decoder_params
         params = quantize_decoder_params(params)
-    else:
-        params = maybe_shard(params, build_mesh(args))
+    params = maybe_shard(params, build_mesh(args))
     fewshots = None
     if args.fewshot:
         fewshots = select_fewshot(corpus, queries, qrels, tokenizer,

@@ -30,6 +30,18 @@ def param_specs(params: Any) -> Any:
         ndim = leaf.ndim if hasattr(leaf, "ndim") else len(leaf)
         in_layers = "layers" in keys
 
+        if name in ("q", "s") and len(keys) >= 2:
+            # int8-quantized kernel leaf {"q", "s"} (ops/quant.py): "q" has
+            # the float kernel's shape and takes its spec; the per-output-
+            # channel scales "s" follow column-parallel output shards but
+            # stay replicated for row-parallel kernels (their axis-1 is the
+            # size-1 keepdim, and the rescale happens after the psum).
+            kind, name = name, keys[-2]
+            if kind == "s":
+                if name in ("wq", "wk", "wv", "wi"):  # (L, 1, F) col parallel
+                    return P(None, None, "tp")
+                return P(*([None] * ndim))
+
         if name in ("wq", "wk", "wv"):          # (L, D, H*Dh) column parallel
             return P(None, None, "tp")
         if name == "wo" and "attn" in keys:      # (L, H*Dh, D) row parallel

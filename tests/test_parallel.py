@@ -67,3 +67,32 @@ def test_engine_dp_sharded_encode_matches_single():
     sharded = EmbeddingEngine(shard_params(params, mesh), cfg, tok,
                               batch_size=8, mesh=mesh).encode(texts)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_quantized_sharded_forward_matches_single_device():
+    """int8-quantized params compose with Megatron TP: the {q, s} leaves get
+    partition specs (q follows the kernel, scales follow column shards) and
+    the sharded quantized forward is bit-identical to the unsharded one."""
+    from sgpt_tpu.ops.quant import quantize_decoder_params
+
+    cfg = tiny("neo", num_heads=4, hidden_size=64)
+    params = quantize_decoder_params(init_params(cfg, jax.random.key(0)))
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(8, 12)), jnp.int32)
+    mask = jnp.ones((8, 12), jnp.int32)
+
+    want = np.asarray(forward(params, ids, mask, cfg))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_params(params, mesh)
+    ids_s = jax.device_put(ids, NamedSharding(mesh, data_spec()))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, data_spec()))
+    got = np.asarray(forward(sharded, ids_s, mask_s, cfg))
+
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    q = sharded["layers"]["attn"]["wq"]["q"]
+    assert all(s.data.shape[-1] == q.shape[-1] // 4
+               for s in q.addressable_shards)
+    s_scale = sharded["layers"]["attn"]["wq"]["s"]
+    assert all(sh.data.shape[-1] == s_scale.shape[-1] // 4
+               for sh in s_scale.addressable_shards)
