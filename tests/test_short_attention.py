@@ -97,3 +97,34 @@ def test_fused_falls_back_on_long_T():
     ids = jnp.zeros((1, 640), jnp.int32)   # > 512 cap -> XLA path
     out = forward(params, ids, jnp.ones_like(ids), cfg)
     assert out.shape == (1, 640, cfg.hidden_size)
+
+
+def test_pallas_backward_kernel_matches_reference_vjp():
+    """The Pallas backward kernel (_bwd_kernel, TPU path of the custom VJP)
+    == differentiating the XLA reference, across scale/window/alibi/padding."""
+    from sgpt_tpu.ops.pallas.short_attention import _short_attention_bwd_impl
+
+    rng = np.random.default_rng(3)
+    B, T, H, Dh = 2, 40, 4, 16
+    km = np.ones((B, T), np.int32)
+    km[1, 30:] = 0
+    km = jnp.asarray(km)
+    for scale, window, alibi in ((1.0, 0, False), (0.25, 0, False),
+                                 (1.0, 16, False), (1.0, 0, True)):
+        q2, k2, v2, g = (jnp.asarray(rng.normal(size=(B, T, H * Dh)),
+                                     jnp.float32) for _ in range(4))
+        slopes = (jnp.asarray(rng.random(H), jnp.float32) if alibi
+                  else jnp.zeros((H,), jnp.float32))
+
+        def f(q2_, k2_, v2_):
+            return _reference_hd(q2_, k2_, v2_, km, slopes, scale=scale,
+                                 window=window, H=H, use_alibi=alibi)
+
+        _, vjp = jax.vjp(f, q2, k2, v2)
+        want = vjp(g)
+        got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, g,
+                                        scale, window, H, alibi,
+                                        interpret=True)
+        for gw, gg in zip(want, got):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                       atol=2e-5, rtol=1e-4)
