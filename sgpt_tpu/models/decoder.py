@@ -309,10 +309,15 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
 
     use_sp = sp_mesh is not None
     use_flash = cfg.use_flash and T % 128 == 0 and not use_sp
-    # fused short-T kernel: VMEM-resident scores; capped so q/k/v blocks plus
-    # the (T, T) fp32 scores fit VMEM comfortably
+    # fused short-T kernel: VMEM-resident scores. Upper cap so q/k/v blocks
+    # plus the (T, T) fp32 scores fit VMEM comfortably; lower cap because
+    # below T~160 the (T, T) score traffic XLA pays is small enough that the
+    # kernel's per-layer invocation overhead loses (measured A/B at T=75
+    # training: XLA 1184 vs fused ~1040 ex/s; crossover between 128 and 160,
+    # fused wins 1.2-1.8x from T=160 up — docs/PERF.md). The flag can stay
+    # on everywhere; the shape picks the faster path.
     use_fused = (cfg.fused_attention and not use_sp and not use_flash
-                 and T <= 512)
+                 and 160 <= T <= 512)
     alibi = None
     slopes = None
     if cfg.position_embedding == "alibi":

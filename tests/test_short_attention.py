@@ -15,13 +15,13 @@ def test_fused_forward_matches_xla(family):
     """Full decoder forward with fused_attention == the XLA attention path.
     Covers rope (gptj), alibi (bloom), local/global alternation (neo)."""
     cfg = tiny(family, num_layers=2, hidden_size=64, num_heads=4,
-               max_position_embeddings=128)
+               max_position_embeddings=256)
     params = init_params(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)
-    B, T = 2, 48
+    B, T = 2, 176  # within the fused window (160 <= T <= 512)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
     mask = np.ones((B, T), np.int32)
-    mask[1, 40:] = 0
+    mask[1, 160:] = 0
     mask = jnp.asarray(mask)
 
     want = np.asarray(forward(params, ids, mask, cfg))
@@ -79,11 +79,14 @@ def test_fused_trainer_step_runs():
     from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
 
     cfg = tiny("neo", num_layers=1, hidden_size=32, num_heads=2,
-               vocab_size=256).replace(fused_attention=True)
+               vocab_size=256,
+               max_position_embeddings=192).replace(fused_attention=True)
     trainer = ContrastiveTrainer(
         init_params(cfg, jax.random.key(0)), cfg,
         SimpleTokenizer(vocab_size=256),
-        TrainConfig(batch_size=4, max_seq_len=16, lr=1e-3,
+        # trainer pads to max_seq_len, so T=176 keeps the fused custom-VJP
+        # path active (fused window is 160 <= T <= 512)
+        TrainConfig(batch_size=4, max_seq_len=176, lr=1e-3,
                     freeze_nonbias=True))
     batch = [(f"a {i}", f"p {i}") for i in range(4)]
     out = trainer.fit(lambda: iter([batch, batch]), steps_per_epoch=2)

@@ -31,7 +31,8 @@ def bench(global_batch: int, chunk: int) -> dict:
     from sgpt_tpu.training.bitfit import masked_optimizer
     from sgpt_tpu.training.gradcache import chunk_tree, gradcache_value_and_grad
 
-    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default")
+    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
+                                  fused_attention=jax.default_backend() == "tpu")
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
 
     opt = masked_optimizer(
