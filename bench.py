@@ -80,9 +80,14 @@ def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
 
     float(chain(a, b))  # compile + warm
     best = 0.0
-    for _ in range(3):  # the shared tile's rate swings ±10% run to run
+    for rep in range(3):  # the shared tile's rate swings ±10% run to run
+        # vary the operand per rep (same anti-memoization rule as the model
+        # reps below): identical dispatches could be served from a remote
+        # relay's cache in near-zero time and max() would pick that sample.
+        # Multiplicative, not additive — a mean shift compounds through the
+        # 16 dependent matmuls and overflows fp32 at this magnitude
         t0 = time.perf_counter()
-        checksum = float(chain(a, b))
+        checksum = float(chain(a * jnp.bfloat16(1 + rep / 128), b))
         dt = time.perf_counter() - t0
         assert np.isfinite(checksum)
         best = max(best, 2.0 * size ** 3 * iters / dt / 1e12)

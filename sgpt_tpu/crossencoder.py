@@ -26,31 +26,12 @@ import numpy as np
 from .models.config import DecoderConfig
 from .ops.logprobs import continuation_scores_gathered
 from .tokenization.base import Tokenizer
-from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket
+from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket, row_bucket
 
 logger = logging.getLogger(__name__)
 
 PROMPT_G = ('Documents are searched to find matches with the same content.\n'
             'The document "{}" is a good search result for "')
-
-
-_ROW_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
-
-
-def _row_bucket(nmax: int) -> int:
-    """Static row-count bucket for a token-budget batch.
-
-    B is a pure function of the length bucket T (via nmax = budget // T), so
-    the jit-compile count stays bounded by the number of T buckets; final
-    partial batches pad rows and reuse the same compile. Rounds UP to the
-    next bucket when that overshoots the budget by <= 25% (bounded memory),
-    otherwise down."""
-    lo = None
-    for b in _ROW_BUCKETS:
-        if b >= nmax:
-            return b if b <= nmax * 1.25 else (lo or max(1, nmax))
-        lo = b
-    return _ROW_BUCKETS[-1]
 
 
 class CrossEncoderRanker:
@@ -142,7 +123,7 @@ class CrossEncoderRanker:
             # keys are length-descending: the first row's bucket fits all
             T = pick_bucket(packed[i][1], DEFAULT_BUCKETS, self.max_length)
             T = max(T, packed[i][1])
-            B = _row_bucket(max(1, budget // T))
+            B = row_bucket(max(1, budget // T))
             batch = keys[i : i + min(B, len(keys) - i)]
             rows = packed[i : i + len(batch)]
             i += len(batch)

@@ -82,11 +82,15 @@ def _bwd_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
                 scale: float, window: int, H: int, Dh: int, use_alibi: bool):
     """Backward: recompute scores/probs per head in VMEM, softmax VJP in fp32.
 
-    dV = Pᵀ g;  dP = g Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P));
-    dQ = scale·dS K;  dK = scale·dSᵀ Q.  The additive pieces of S (mask,
-    ALiBi) are q/k-independent, so they contribute nothing extra; masked
-    entries have P = 0 ⇒ dS = 0 automatically (and fully-masked padding rows
-    reproduce the XLA reference's uniform-softmax gradients)."""
+    dV = Pᵀ g;  dP = g Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P)), then dS is
+    re-masked (the XLA reference's jnp.where VJP zeroes the cotangent at
+    masked score positions);  dQ = scale·dS K;  dK = scale·dSᵀ Q.  The
+    additive pieces of S (mask, ALiBi) are q/k-independent, so they
+    contribute nothing extra.  For partially-masked rows P = 0 at masked
+    entries already gives dS = 0 there, but FULLY-masked rows (padded query
+    positions past a local window) softmax to uniform P = 1/T, so without
+    the explicit re-mask they would leak nonzero dq and corrupt dk at valid
+    key rows."""
     T = q_ref.shape[1]
     km = keymask_ref[0, 0, :] > 0
     qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
@@ -120,6 +124,7 @@ def _bwd_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
         dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        ds = jnp.where(mask, ds, 0.0)  # where-VJP: fully-masked rows → dS = 0
         if scale != 1.0:
             ds = ds * scale
         # ds stays fp32 for the dq/dk dots: casting it to bf16 loses ~1% of
@@ -236,9 +241,19 @@ def _fwd(q2, k2, v2, key_mask, slopes, scale, window, H, use_alibi):
     return out, (q2, k2, v2, key_mask, slopes)
 
 
+def _bwd_fits_vmem(T: int, HD: int, itemsize: int) -> bool:
+    """The backward holds 7 (T, HD) blocks (q/k/v/g in, dq/dk/dv out) plus
+    ~4 (T, T) fp32 score temps per grid step — roughly double the forward's
+    residency. Budget 14 MB of the ~16 MB VMEM so large-D models at the top
+    of the fused window fall back to the XLA VJP instead of failing Mosaic
+    allocation."""
+    return 7 * T * HD * itemsize + 4 * T * T * 4 <= 14 * 1024 * 1024
+
+
 def _bwd(scale, window, H, use_alibi, res, g):
     q2, k2, v2, key_mask, slopes = res
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and _bwd_fits_vmem(q2.shape[1], q2.shape[2], q2.dtype.itemsize)):
         dq, dk, dv = _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes,
                                                g, scale, window, H, use_alibi)
         return dq, dk, dv, None, None

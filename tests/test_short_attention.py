@@ -131,3 +131,36 @@ def test_pallas_backward_kernel_matches_reference_vjp():
         for gw, gg in zip(want, got):
             np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_backward_fully_masked_rows():
+    """Padded query rows past a local window see NO valid keys: their softmax
+    is uniform (1/T), and the XLA where-VJP zeroes their score cotangent.
+    Regression: the kernel must re-mask dS or those rows leak nonzero dq and
+    corrupt dk at valid key rows (found by review; T=60/window=16/pad@30
+    makes rows >= 46 fully masked)."""
+    from sgpt_tpu.ops.pallas.short_attention import _short_attention_bwd_impl
+
+    rng = np.random.default_rng(4)
+    B, T, H, Dh = 2, 60, 2, 16
+    window = 16
+    km = np.ones((B, T), np.int32)
+    km[1, 30:] = 0                      # rows 46.. of batch 1: fully masked
+    km = jnp.asarray(km)
+    q2, k2, v2, g = (jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+                     for _ in range(4))
+    slopes = jnp.zeros((H,), jnp.float32)
+
+    def f(q2_, k2_, v2_):
+        return _reference_hd(q2_, k2_, v2_, km, slopes, scale=1.0,
+                             window=window, H=H, use_alibi=False)
+
+    _, vjp = jax.vjp(f, q2, k2, v2)
+    want = vjp(g)
+    got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, g,
+                                    1.0, window, H, False, interpret=True)
+    for gw, gg in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=2e-5, rtol=1e-4)
+    # and dq at the fully-masked rows is exactly zero
+    assert np.abs(np.asarray(got[0])[1, 46:]).max() == 0.0

@@ -6,20 +6,14 @@ measured matmul peak.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
-def model_flops_per_seq(cfg, T: int) -> float:
-    """Dense FLOPs for one sequence through the decoder (2*MACs)."""
-    D, L = cfg.hidden_size, cfg.num_layers
-    F = getattr(cfg, "intermediate_size", None) or 4 * D
-    per_token = L * (8 * D * D        # qkvo projections
-                     + 4 * D * F      # mlp in+out
-                     + 4 * T * D)     # scores + values (full causal window)
-    return per_token * T
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from bench import model_flops_per_seq  # single causal-FLOP formula (bench.py)
 
 
 def bench_encode(batch: int, seq: int, iters: int = 8) -> dict:

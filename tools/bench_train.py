@@ -12,6 +12,7 @@ step), timed to a host fetch of the final loss.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -19,7 +20,7 @@ import numpy as np
 SEQ, N_ITERS = 75, 4
 
 
-def bench(global_batch: int, chunk: int) -> dict:
+def bench(global_batch: int, chunk: int, seq: int = SEQ) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,6 +34,10 @@ def bench(global_batch: int, chunk: int) -> dict:
 
     cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
                                   fused_attention=jax.default_backend() == "tpu")
+    # the decoder gates the fused kernel to 160 <= T <= 512; report which
+    # attention path this seq actually runs so the number isn't misread as
+    # a fused-kernel measurement at e.g. the default NLI T=75
+    fused_active = (cfg.fused_attention and 160 <= seq <= 512)
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
 
     opt = masked_optimizer(
@@ -40,11 +45,11 @@ def bench(global_batch: int, chunk: int) -> dict:
     opt_state = opt.init(params)
 
     rng = np.random.default_rng(0)
-    ids_a = jnp.asarray(rng.integers(0, cfg.vocab_size, (global_batch, SEQ)),
+    ids_a = jnp.asarray(rng.integers(0, cfg.vocab_size, (global_batch, seq)),
                         jnp.int32)
-    ids_p = jnp.asarray(rng.integers(0, cfg.vocab_size, (global_batch, SEQ)),
+    ids_p = jnp.asarray(rng.integers(0, cfg.vocab_size, (global_batch, seq)),
                         jnp.int32)
-    mask = jnp.ones((global_batch, SEQ), jnp.int32)
+    mask = jnp.ones((global_batch, seq), jnp.int32)
 
     def encode(p, c):
         return weighted_mean_pool(forward(p, c["ids"], c["mask"], cfg), c["mask"])
@@ -72,11 +77,13 @@ def bench(global_batch: int, chunk: int) -> dict:
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
     return {"metric": "gradcache_train_examples_per_sec_per_chip",
-            "global_batch": global_batch, "chunk": chunk, "seq": SEQ,
+            "global_batch": global_batch, "chunk": chunk, "seq": seq,
+            "attention_path": "fused" if fused_active else "xla",
             "steps_per_sec": round(N_ITERS / dt, 3),
             "value": round(N_ITERS * global_batch / dt, 1), "unit": "ex/s"}
 
 
 if __name__ == "__main__":
+    seq = int(sys.argv[1]) if len(sys.argv) > 1 else SEQ
     for gb, ck in ((256, 32), (512, 64), (1024, 64)):
-        print(json.dumps(bench(gb, ck)), flush=True)
+        print(json.dumps(bench(gb, ck, seq)), flush=True)
