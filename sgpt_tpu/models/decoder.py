@@ -309,15 +309,22 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
 
     use_sp = sp_mesh is not None
     use_flash = cfg.use_flash and T % 128 == 0 and not use_sp
-    # fused short-T kernel: VMEM-resident scores. Upper cap so q/k/v blocks
-    # plus the (T, T) fp32 scores fit VMEM comfortably; lower cap because
-    # below T~160 the (T, T) score traffic XLA pays is small enough that the
+    # fused short-T kernel: VMEM-resident scores. Lower cap because below
+    # T~160 the (T, T) score traffic XLA pays is small enough that the
     # kernel's per-layer invocation overhead loses (measured A/B at T=75
     # training: XLA 1184 vs fused ~1040 ex/s; crossover between 128 and 160,
-    # fused wins 1.2-1.8x from T=160 up — docs/PERF.md). The flag can stay
-    # on everywhere; the shape picks the faster path.
+    # fused wins 1.2-1.8x from T=160 up — docs/PERF.md). Upper bound is the
+    # kernel's VMEM residency — a function of T AND the projection width
+    # (GPT-J's (T=304, HD=4096) blocks overflow the 16 MB VMEM where 125M's
+    # fit; short_attention.fwd_fits_vmem) — plus a T cap keeping the (T, T)
+    # score tile economical. The flag can stay on everywhere; the shape
+    # picks the faster path.
+    if cfg.fused_attention:
+        from ..ops.pallas.short_attention import fwd_fits_vmem
     use_fused = (cfg.fused_attention and not use_sp and not use_flash
-                 and 160 <= T <= 512)
+                 and 160 <= T <= 512
+                 and fwd_fits_vmem(T, cfg.num_heads * cfg.head_size,
+                                   jnp.dtype(cfg.dtype).itemsize))
     alibi = None
     slopes = None
     if cfg.position_embedding == "alibi":

@@ -15,6 +15,11 @@ This kernel targets exactly the short-T regime instead:
   * numerics REPLICATE the XLA path bit-for-bit-close: fp32 scores, -1e9
     additive mask, fp32 softmax, probs cast to the activation dtype before
     the AV matmul with fp32 accumulation (models/decoder.py:attention).
+    Caveat: the kernel's MXU dots always run DEFAULT precision — for bf16
+    production configs that is identical to the XLA path, but fp32 configs
+    with matmul_precision="highest" (tests, tiny models) see ~1e-3 relative
+    gradient differences vs the XLA path's multi-pass fp32 matmuls
+    (measured on-chip: max 0.3% per-leaf relative on a 2-layer fp32 model).
 
 Covers all three families: optional 1/sqrt(Dh) scaling (GPT-J), sliding
 window (GPT-Neo local layers), ALiBi (BLOOM; raw key index == BLOOM's
@@ -241,13 +246,28 @@ def _fwd(q2, k2, v2, key_mask, slopes, scale, window, H, use_alibi):
     return out, (q2, k2, v2, key_mask, slopes)
 
 
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def fwd_fits_vmem(T: int, HD: int, itemsize: int) -> bool:
+    """Whether the forward kernel's per-grid-step residency fits VMEM.
+
+    The forward holds 5 logical (T, HD) blocks (q/k/v/mask in, o out), but
+    Mosaic double-buffers pipeline blocks: the observed allocation is ~8
+    block-equivalents (measured: D=4096/T=304/bf16 requests 19.04 MB ≈ 7.65
+    blocks of 2.49 MB against the 16 MB limit), plus two (T, T) fp32 score
+    temps live in the per-head loop. Budget 14 MB so large-D models (GPT-J
+    D=4096 at any fused-window T) take the XLA path instead of failing
+    Mosaic stack allocation at compile time."""
+    return 8 * T * HD * itemsize + 2 * T * T * 4 <= _VMEM_BUDGET
+
+
 def _bwd_fits_vmem(T: int, HD: int, itemsize: int) -> bool:
-    """The backward holds 7 (T, HD) blocks (q/k/v/g in, dq/dk/dv out) plus
-    ~4 (T, T) fp32 score temps per grid step — roughly double the forward's
-    residency. Budget 14 MB of the ~16 MB VMEM so large-D models at the top
-    of the fused window fall back to the XLA VJP instead of failing Mosaic
-    allocation."""
-    return 7 * T * HD * itemsize + 4 * T * T * 4 <= 14 * 1024 * 1024
+    """The backward holds 7 logical (T, HD) blocks (q/k/v/g in, dq/dk/dv
+    out) — ~11 block-equivalents after Mosaic double-buffering (same ~1.5x
+    ratio measured on the forward) — plus ~4 (T, T) fp32 softmax-VJP temps.
+    Same 14 MB budget: over it, fall back to the exact XLA VJP."""
+    return 11 * T * HD * itemsize + 4 * T * T * 4 <= _VMEM_BUDGET
 
 
 def _bwd(scale, window, H, use_alibi, res, g):

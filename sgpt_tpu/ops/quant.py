@@ -67,6 +67,22 @@ _ATTN_KERNELS = ("wq", "wk", "wv", "wo")
 _MLP_KERNELS = ("wi", "wo")
 
 
+@jax.jit
+def _quantize_stacked(w):
+    """quantize_weight(contract_axis=1) for a stacked (L, D, F) kernel,
+    computed ONE LAYER AT A TIME under jit: the fp32 intermediate is a
+    single (D, F) slab (~270 MB at GPT-J's widest) instead of the full
+    (L, D, F) stack (~7.5 GB) — the difference between int8-quantizing a
+    6B model on a 16 GB chip and OOMing during load."""
+    def one(wl):
+        w32 = jnp.asarray(wl, jnp.float32)
+        absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+        s = jnp.maximum(absmax / 127.0, _EPS)
+        return jnp.round(w32 / s).astype(jnp.int8), s
+    q, s = jax.lax.map(one, w)
+    return {"q": q, "s": s}
+
+
 def quantize_decoder_params(params: dict) -> dict:
     """Quantize the per-layer projection kernels of a decoder params pytree.
 
@@ -74,19 +90,23 @@ def quantize_decoder_params(params: dict) -> dict:
     negligible FLOP share and (for ln/embeddings) quality-critical. The
     stacked (L, D, F) layer kernels get per-layer, per-output-channel scales
     (contract_axis=1), so `lax.scan` slices {"q": (D,F), "s": (1,F)} per layer.
+
+    MUTATES the input tree's attn/mlp dicts, freeing each float kernel as
+    soon as its int8 copy exists — device memory goes monotonically DOWN
+    during quantization (float-total + one layer's fp32 temp peak). Without
+    this, a 12.2 GB bf16 GPT-J plus its accumulating int8 copies (~6 GB)
+    exceeds a 16 GB chip before the float tree could be dropped. Callers
+    already follow the `params = quantize_decoder_params(params)` pattern.
     """
-    out = dict(params)
-    layers = dict(params["layers"])
-    attn = dict(layers["attn"])
-    for k in _ATTN_KERNELS:
-        attn[k] = quantize_weight(attn[k], contract_axis=1)
-    layers["attn"] = attn
-    mlp = dict(layers["mlp"])
-    for k in _MLP_KERNELS:
-        mlp[k] = quantize_weight(mlp[k], contract_axis=1)
-    layers["mlp"] = mlp
-    out["layers"] = layers
-    return out
+    for group, names in (("attn", _ATTN_KERNELS), ("mlp", _MLP_KERNELS)):
+        sub = params["layers"][group]
+        for k in names:
+            if k not in sub or is_quantized(sub[k]):
+                continue
+            w = sub.pop(k)
+            sub[k] = jax.block_until_ready(_quantize_stacked(w))
+            del w                       # float kernel freed before the next
+    return params
 
 
 def dequantize_weight(qw: dict) -> np.ndarray:

@@ -94,6 +94,28 @@ def test_fused_trainer_step_runs():
     assert len(losses) == 2 and all(np.isfinite(losses))
 
 
+def test_vmem_gates():
+    """Calibration points: 125M (HD=768) fits at every fused-window T;
+    GPT-J width (HD=4096) does not (measured Mosaic allocation: 19.04 MB
+    requested vs the 16 MB limit at T=304) — the decoder must route wide
+    models to the XLA path instead of failing kernel compilation."""
+    from sgpt_tpu.ops.pallas.short_attention import (_bwd_fits_vmem,
+                                                     fwd_fits_vmem)
+
+    assert fwd_fits_vmem(304, 768, 2) and fwd_fits_vmem(512, 768, 2)
+    assert _bwd_fits_vmem(304, 768, 2) and _bwd_fits_vmem(512, 768, 2)
+    assert not fwd_fits_vmem(304, 4096, 2)       # GPT-J: observed OOM
+    assert not _bwd_fits_vmem(512, 2560, 2)      # 2.7B-dim backward at cap
+
+    # decoder gate: a wide config with the flag on still works (XLA path)
+    cfg = tiny("gptj", num_layers=1, num_heads=2, hidden_size=4096,
+               max_position_embeddings=256).replace(fused_attention=True)
+    params = init_params(cfg, jax.random.key(0))
+    ids = jnp.zeros((1, 176), jnp.int32)
+    out = forward(params, ids, jnp.ones_like(ids), cfg)
+    assert out.shape == (1, 176, cfg.hidden_size)
+
+
 def test_fused_falls_back_on_long_T():
     cfg = tiny("neo", max_position_embeddings=1024).replace(fused_attention=True)
     params = init_params(cfg, jax.random.key(0))

@@ -12,10 +12,13 @@ step), timed to a host fetch of the final loss.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SEQ, N_ITERS = 75, 4
 
