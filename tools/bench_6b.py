@@ -18,7 +18,10 @@ CLI pattern — full bf16 tree on device, then `quantize_decoder_params`,
 which mutates in place (each float kernel freed as its int8 copy lands,
 layer-sized fp32 temps) so the 12.2 GB tree quantizes on a 16 GB chip.
 
-Usage: python tools/bench_6b.py [bf16|int8|both(default)] [batch]
+Usage: python tools/bench_6b.py [bf16|int8|both(default)|ce] [batch] [gptj|bloom7b1]
+
+Also covers BLOOM-7.1B (SGPT-BLOOM-7.1B-msmarco, the other flagship BE):
+ALiBi attention, 250k vocab; int8 weights ~8.6 GiB on one chip.
 """
 from __future__ import annotations
 
@@ -34,6 +37,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import model_flops_per_seq
 
 SEQ, N_ITERS = 304, 4
+
+
+def make_cfg(model: str):
+    import jax
+    import jax.numpy as jnp
+    from sgpt_tpu.models import bloom, gpt_j_6b
+
+    base = gpt_j_6b() if model == "gptj" else bloom("7b1")
+    return base.replace(dtype=jnp.bfloat16, matmul_precision="default",
+                        fused_attention=jax.default_backend() == "tpu")
 
 
 def build_params(cfg, quantize: bool):
@@ -53,16 +66,13 @@ def param_bytes(params) -> int:
     return sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
 
 
-def bench(mode: str, batch: int) -> dict:
+def bench(mode: str, batch: int, model: str = "gptj") -> dict:
     import jax
     import jax.numpy as jnp
-    from sgpt_tpu.models import gpt_j_6b
     from sgpt_tpu.models.decoder import forward
     from sgpt_tpu.ops.pooling import weighted_mean_pool, normalize
 
-    cfg = gpt_j_6b().replace(
-        dtype=jnp.bfloat16, matmul_precision="default",
-        fused_attention=jax.default_backend() == "tpu")
+    cfg = make_cfg(model)
     t0 = time.perf_counter()
     params = build_params(cfg, quantize=(mode == "int8"))
     build_s = time.perf_counter() - t0
@@ -98,24 +108,21 @@ def bench(mode: str, batch: int) -> dict:
     flops = model_flops_per_seq(cfg, SEQ)
     del params
     gc.collect()
-    return {"metric": f"gptj6b_encode_{mode}", "batch": batch, "seq": SEQ,
+    return {"metric": f"{model}_encode_{mode}", "batch": batch, "seq": SEQ,
             "weight_gb": round(weight_gb, 2), "build_s": round(build_s, 1),
             "value": round(best, 2), "unit": "emb/s",
             "achieved_tflops": round(best * flops / 1e12, 1)}
 
 
-def bench_ce(mode: str, batch: int) -> dict:
+def bench_ce(mode: str, batch: int, model: str = "gptj") -> dict:
     """SGPT-CE-6.1B IS GPT-J — the reference's zero-shot reranker needed
     device_map sharding for it. Pairs/s through the gathered scorer
     (T=304 prompt+doc window, C=16 continuation positions)."""
     import jax
     import jax.numpy as jnp
-    from sgpt_tpu.models import gpt_j_6b
     from sgpt_tpu.ops.logprobs import continuation_scores_gathered
 
-    cfg = gpt_j_6b().replace(
-        dtype=jnp.bfloat16, matmul_precision="default",
-        fused_attention=jax.default_backend() == "tpu")
+    cfg = make_cfg(model)
     params = build_params(cfg, quantize=(mode == "int8"))
     weight_gb = param_bytes(params) / 2**30
 
@@ -148,7 +155,7 @@ def bench_ce(mode: str, batch: int) -> dict:
         dt = time.perf_counter() - t0
         assert np.isfinite(checksum)
         best = max(best, N_ITERS * batch / dt)
-    return {"metric": f"gptj6b_ce_{mode}", "batch": batch, "seq": SEQ,
+    return {"metric": f"{model}_ce_{mode}", "batch": batch, "seq": SEQ,
             "cont": C, "weight_gb": round(weight_gb, 2),
             "value": round(best, 2), "unit": "pairs/s"}
 
@@ -156,9 +163,10 @@ def bench_ce(mode: str, batch: int) -> dict:
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    model = sys.argv[3] if len(sys.argv) > 3 else "gptj"
     if mode == "ce":
         for m in ("bf16", "int8"):
-            print(json.dumps(bench_ce(m, batch)), flush=True)
+            print(json.dumps(bench_ce(m, batch, model)), flush=True)
     else:
         for m in (("bf16", "int8") if mode == "both" else (mode,)):
-            print(json.dumps(bench(m, batch)), flush=True)
+            print(json.dumps(bench(m, batch, model)), flush=True)
