@@ -80,11 +80,19 @@ def main(args=None):
                                          random_init=args.randominit,
                                          dtype_str=args.dtype)
     mesh = build_mesh(args)
+    if args.quantize:
+        from ..ops.quant import quantize_decoder_params
+        # pre-quantize with free_source: the CLI owns this tree, and in-place
+        # freeing lets 6B-scale bf16 trees quantize within one chip's HBM
+        # (the engine's own quantize= flag copies, preserving caller trees).
+        # Quantize BEFORE sharding — the TP partition specs cover the int8
+        # {q, s} leaves (same composition as cli/sgptce.py)
+        params = quantize_decoder_params(params, free_source=True)
     params = maybe_shard(params, mesh)
     engine = EmbeddingEngine(
         params, cfg, tokenizer, method=args.method, specb=args.specb,
         layeridx=args.layeridx, max_seq_len=args.maxseqlen,
-        batch_size=args.batchsize, mesh=mesh, quantize=args.quantize,
+        batch_size=args.batchsize, mesh=mesh,
         cache_dir=(f"embeddings/{args.modelname.split('/')[-1]}/"
                    f"{args.method}/{args.dataset}" if args.saveemb else None))
 

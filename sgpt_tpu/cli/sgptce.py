@@ -85,7 +85,9 @@ def main(args=None):
     # the need for TP though: half the weight HBM fits 6B on one v5e chip.
     if args.quantize:
         from ..ops.quant import quantize_decoder_params
-        params = quantize_decoder_params(params)
+        # free_source: this CLI owns the freshly-loaded tree, and in-place
+        # freeing is what lets a 12.2 GB bf16 GPT-J quantize on a 16 GB chip
+        params = quantize_decoder_params(params, free_source=True)
     params = maybe_shard(params, build_mesh(args))
     fewshots = None
     if args.fewshot:

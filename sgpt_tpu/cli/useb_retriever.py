@@ -45,10 +45,14 @@ def main(args=None):
     params, cfg, tokenizer = build_model(args.modelname,
                                          random_init=args.randominit,
                                          dtype_str=args.dtype)
+    if args.quantize:
+        from ..ops.quant import quantize_decoder_params
+        # pre-quantize with free_source (CLI owns the tree — see beir_retriever)
+        params = quantize_decoder_params(params, free_source=True)
     engine = EmbeddingEngine(params, cfg, tokenizer, method=args.method,
                              specb=args.specb, layeridx=args.layeridx,
                              max_seq_len=args.maxseqlen,
-                             batch_size=args.batchsize, quantize=args.quantize)
+                             batch_size=args.batchsize)
 
     semb_fns = {task: engine.encode for task in args.tasks}
     results, mains = run(semb_fns, eval_type=args.evaltype,

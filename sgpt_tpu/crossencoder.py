@@ -49,6 +49,8 @@ class CrossEncoderRanker:
             # dims AND halves weight HBM — 6B CE fits one 16GB v5e chip
             # without TP. Scores shift by the quantization error; rankings
             # agree with bf16 to high overlap (tests/test_quant.py).
+            # The caller's float tree stays intact (copying quantizer); for
+            # ~6B trees pre-quantize with free_source=True instead (CLIs do).
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}; "
                                  "supported: 'int8'")

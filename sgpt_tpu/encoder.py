@@ -132,7 +132,11 @@ class EmbeddingEngine:
         (ops/quant.py) — ~1.4x encode throughput at 2.7B dims on the MXU's
         double-rate int8 path, cosine vs bf16 >= 0.999. Not worth it below
         ~1B params (the per-token quantize overhead beats the matmul saving
-        at small hidden sizes; measured 0.93x at 125M — docs/PERF.md)."""
+        at small hidden sizes; measured 0.93x at 125M — docs/PERF.md).
+        The caller's float tree is left intact (the quantizer copies); for
+        ~6B trees whose float+int8 copies exceed HBM together, pre-quantize
+        with `quantize_decoder_params(params, free_source=True)` and pass
+        the result here with quantize=None (what the CLIs do)."""
         if mesh is not None and sp_mesh is not None:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")

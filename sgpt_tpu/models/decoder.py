@@ -319,12 +319,12 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     # fit; short_attention.fwd_fits_vmem) — plus a T cap keeping the (T, T)
     # score tile economical. The flag can stay on everywhere; the shape
     # picks the faster path.
-    if cfg.fused_attention:
+    use_fused = False
+    if (cfg.fused_attention and not use_sp and not use_flash
+            and 160 <= T <= 512):
         from ..ops.pallas.short_attention import fwd_fits_vmem
-    use_fused = (cfg.fused_attention and not use_sp and not use_flash
-                 and 160 <= T <= 512
-                 and fwd_fits_vmem(T, cfg.num_heads * cfg.head_size,
-                                   jnp.dtype(cfg.dtype).itemsize))
+        use_fused = fwd_fits_vmem(T, cfg.num_heads * cfg.head_size,
+                                  jnp.dtype(cfg.dtype).itemsize)
     alibi = None
     slopes = None
     if cfg.position_embedding == "alibi":

@@ -72,41 +72,45 @@ def _quantize_stacked(w):
     """quantize_weight(contract_axis=1) for a stacked (L, D, F) kernel,
     computed ONE LAYER AT A TIME under jit: the fp32 intermediate is a
     single (D, F) slab (~270 MB at GPT-J's widest) instead of the full
-    (L, D, F) stack (~7.5 GB) — the difference between int8-quantizing a
-    6B model on a 16 GB chip and OOMing during load."""
-    def one(wl):
-        w32 = jnp.asarray(wl, jnp.float32)
-        absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
-        s = jnp.maximum(absmax / 127.0, _EPS)
-        return jnp.round(w32 / s).astype(jnp.int8), s
-    q, s = jax.lax.map(one, w)
-    return {"q": q, "s": s}
+    (L, D, F) stack (~7.5 GB)."""
+    return jax.lax.map(lambda wl: quantize_weight(wl, contract_axis=0), w)
 
 
-def quantize_decoder_params(params: dict) -> dict:
+def quantize_decoder_params(params: dict, *, free_source: bool = False) -> dict:
     """Quantize the per-layer projection kernels of a decoder params pytree.
 
     Embeddings, layernorms, biases and the LM head stay float: they are a
     negligible FLOP share and (for ln/embeddings) quality-critical. The
     stacked (L, D, F) layer kernels get per-layer, per-output-channel scales
-    (contract_axis=1), so `lax.scan` slices {"q": (D,F), "s": (1,F)} per layer.
+    (contract_axis=1 semantics), so `lax.scan` slices {"q": (D,F), "s": (1,F)}
+    per layer.
 
-    MUTATES the input tree's attn/mlp dicts, freeing each float kernel as
-    soon as its int8 copy exists — device memory goes monotonically DOWN
-    during quantization (float-total + one layer's fp32 temp peak). Without
-    this, a 12.2 GB bf16 GPT-J plus its accumulating int8 copies (~6 GB)
-    exceeds a 16 GB chip before the float tree could be dropped. Callers
-    already follow the `params = quantize_decoder_params(params)` pattern.
+    free_source=False (default): returns a NEW tree; the caller's float tree
+    is untouched (safe to keep serving/training from it). Peak device memory
+    is float-total + int8-total + one layer's fp32 temp — fine up to ~2.7B
+    on a 16 GB chip.
+
+    free_source=True: mutates the input tree's attn/mlp dicts, freeing each
+    float kernel the moment its int8 copy exists — device memory goes
+    monotonically DOWN (peak float-total + one layer slab). This is how a
+    12.2 GB bf16 GPT-J quantizes on a 16 GB chip (the copying default would
+    need ~18 GB). The source tree is DESTROYED; only pass trees you own
+    (e.g. freshly loaded, as the CLIs do).
     """
+    out = params if free_source else dict(params)
+    layers = out["layers"] if free_source else dict(params["layers"])
     for group, names in (("attn", _ATTN_KERNELS), ("mlp", _MLP_KERNELS)):
-        sub = params["layers"][group]
+        sub = layers[group] if free_source else dict(layers[group])
         for k in names:
             if k not in sub or is_quantized(sub[k]):
                 continue
-            w = sub.pop(k)
+            w = sub.pop(k) if free_source else sub[k]
             sub[k] = jax.block_until_ready(_quantize_stacked(w))
-            del w                       # float kernel freed before the next
-    return params
+            del w                # free_source: float kernel freed before next
+        layers[group] = sub
+    if not free_source:
+        out["layers"] = layers
+    return out
 
 
 def dequantize_weight(qw: dict) -> np.ndarray:

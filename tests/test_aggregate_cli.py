@@ -99,6 +99,35 @@ def test_beir_cli_smoke(tiny_beir, monkeypatch):
     assert data["ndcgs"]["tiny-neo"]["toybeir"]["NDCG@1"] == 1.0
 
 
+def test_beir_cli_quantize_smoke(tiny_beir, monkeypatch):
+    """--quantize int8 drives the CLI's pre-quantize path (free_source=True
+    on the freshly-loaded tree, BEFORE sharding/engine construction)."""
+    from sgpt_tpu.cli import beir_retriever
+    monkeypatch.chdir(tiny_beir)
+    sys.argv = ["x", "--modelname", "tiny-neo-q", "--dataset", "toybeir",
+                "--datapath", str(tiny_beir / "datasets"), "--randominit",
+                "--dtype", "float32", "--batchsize", "4", "--topk", "5",
+                "--maxseqlen", "32", "--quantize", "int8"]
+    import sgpt_tpu.cli.common as common
+    from sgpt_tpu.models import tiny as tiny_cfg, init_params
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    import jax
+
+    def fake_build(model_name, random_init=False, dtype_str="bfloat16"):
+        cfg = tiny_cfg("neo")
+        return (init_params(cfg, jax.random.key(0)), cfg,
+                SimpleTokenizer(vocab_size=cfg.vocab_size))
+
+    monkeypatch.setattr(common, "build_model", fake_build)
+    monkeypatch.setattr(beir_retriever, "build_model", fake_build)
+    beir_retriever.main()
+
+    with open(tiny_beir / "beir_embeddings_ndcgs.json") as f:
+        data = json.load(f)
+    # int8 on identical-text pairs must still retrieve them at rank 1
+    assert data["ndcgs"]["tiny-neo-q"]["toybeir"]["NDCG@1"] == 1.0
+
+
 def test_sgptce_cli_smoke(tiny_beir, monkeypatch, tmp_path):
     from sgpt_tpu.cli import sgptce
     import sgpt_tpu.cli.common as common

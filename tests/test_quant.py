@@ -70,6 +70,40 @@ def test_quantize_decoder_params_structure():
     assert not is_quantized(qp["layers"]["attn"].get("bq", None) or {})
 
 
+def test_quantize_default_preserves_source_tree():
+    """The default is a COPY: the caller's float tree must stay float —
+    quantizing it in place would silently break any other user of the tree
+    (a float engine sharing params, later training) and made the int8-vs-
+    float parity tests above vacuous (review finding)."""
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    wq_before = params["layers"]["attn"]["wq"]
+    qp = quantize_decoder_params(params)
+    assert qp is not params
+    assert params["layers"]["attn"]["wq"] is wq_before      # untouched
+    assert not is_quantized(params["layers"]["attn"]["wq"])
+    assert is_quantized(qp["layers"]["attn"]["wq"])
+
+
+def test_quantize_free_source_mutates_in_place():
+    """free_source=True is the big-model load path: the SAME tree comes back
+    with its float kernels replaced (each freed as its int8 copy lands, so
+    a 12.2 GB GPT-J quantizes within one 16 GB chip — docs/PERF.md)."""
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    ref = forward(params, jnp.zeros((1, 8), jnp.int32),
+                  jnp.ones((1, 8), jnp.int32), cfg)
+    qp = quantize_decoder_params(params, free_source=True)
+    assert qp is params
+    assert is_quantized(params["layers"]["attn"]["wq"])
+    out = forward(qp, jnp.zeros((1, 8), jnp.int32),
+                  jnp.ones((1, 8), jnp.int32), cfg)
+    # still a working decoder, close to the float forward
+    cos = float(jnp.sum(ref * out) /
+                (jnp.linalg.norm(ref) * jnp.linalg.norm(out)))
+    assert cos > 0.999
+
+
 @pytest.mark.parametrize("family", ["neo", "gptj", "bloom"])
 def test_quantized_forward_cosine(family):
     cfg = tiny(family)

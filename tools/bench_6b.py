@@ -6,22 +6,23 @@ HF `device_map="auto"` layer sharding across GPUs plus disk offload
 numbers, not projections — that the TPU build serves the flagship scale on a
 single chip:
 
-  * bf16: 12.2 GB of weights fit the ~15.75 GB HBM alongside encode
+  * bf16: 10.89 GiB of weights fit the ~15.75 GB HBM alongside encode
     activations at BEIR length (T=304),
-  * int8 (ops/quant.py): 6.2 GB of weights — half the HBM, and ~1.4x the
+  * int8 (ops/quant.py): 5.64 GiB of weights — half the HBM, and ~1.5x the
     matmul rate at D=4096 (per-channel weight scales, dynamic per-token
     activation scales; same scheme as `EmbeddingEngine(quantize="int8")`).
 
 Methodology: same cache-proof scan as bench.py (N_ITERS batches inside one
 jit, per-step token variation, host-fetch sync). The int8 build follows the
-CLI pattern — full bf16 tree on device, then `quantize_decoder_params`,
-which mutates in place (each float kernel freed as its int8 copy lands,
-layer-sized fp32 temps) so the 12.2 GB tree quantizes on a 16 GB chip.
+CLI pattern — full bf16 tree on device, then
+`quantize_decoder_params(free_source=True)`, which frees each float kernel
+as its int8 copy lands (layer-sized fp32 temps) so the full-size tree
+quantizes within one chip's HBM.
 
 Usage: python tools/bench_6b.py [bf16|int8|both(default)|ce] [batch] [gptj|bloom7b1]
 
 Also covers BLOOM-7.1B (SGPT-BLOOM-7.1B-msmarco, the other flagship BE):
-ALiBi attention, 250k vocab; int8 weights ~8.6 GiB on one chip.
+ALiBi attention, 250k vocab; measured weights 13.17 GiB bf16 / 7.55 GiB int8.
 """
 from __future__ import annotations
 
@@ -56,7 +57,9 @@ def build_params(cfg, quantize: bool):
 
     params = init_params(cfg, jax.random.key(0))
     if quantize:
-        params = quantize_decoder_params(params)   # in-place, memory-safe
+        # free_source: we own this tree, and in-place freeing keeps peak
+        # HBM at float-total + one layer slab during quantization
+        params = quantize_decoder_params(params, free_source=True)
     jax.block_until_ready(params)
     return params
 
@@ -155,6 +158,8 @@ def bench_ce(mode: str, batch: int, model: str = "gptj") -> dict:
         dt = time.perf_counter() - t0
         assert np.isfinite(checksum)
         best = max(best, N_ITERS * batch / dt)
+    del params                  # free before the next mode's bf16 build
+    gc.collect()
     return {"metric": f"{model}_ce_{mode}", "batch": batch, "seq": SEQ,
             "cont": C, "weight_gb": round(weight_gb, 2),
             "value": round(best, 2), "unit": "pairs/s"}
