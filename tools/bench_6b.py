@@ -165,6 +165,72 @@ def bench_ce(mode: str, batch: int, model: str = "gptj") -> dict:
             "value": round(best, 2), "unit": "pairs/s"}
 
 
+def bench_train(batch: int, model: str = "gptj", chunk: int = 4,
+                seq: int = 75, iters: int = 2) -> dict:
+    """BitFit + GradCache contrastive training of the FLAGSHIP on one chip.
+
+    The reference's headline training run needs 8xA100-40GB for 5.8B BitFit
+    (train_bloom7b1.slurm; 'bs 128/GPU at chunk-4 memory',
+    biencoder/nli_msmarco/README.md:193-196). Here: bf16 params (12.2 GB),
+    AdamW state only on bias leaves (BitFit — a few MB), GradCache chunked
+    encode at `chunk` sequences per pass, full optimizer steps. seq 75 is
+    the NLI training length."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from sgpt_tpu.losses import mnrl_loss
+    from sgpt_tpu.models.decoder import forward
+    from sgpt_tpu.ops.pooling import weighted_mean_pool
+    from sgpt_tpu.training.bitfit import masked_optimizer
+    from sgpt_tpu.training.gradcache import chunk_tree, gradcache_value_and_grad
+
+    cfg = make_cfg(model)
+    params = build_params(cfg, quantize=False)
+    weight_gb = param_bytes(params) / 2**30
+
+    opt = masked_optimizer(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4)), params)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    ids_a = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    ids_p = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    def encode(p, c):
+        return weighted_mean_pool(forward(p, c["ids"], c["mask"], cfg), c["mask"])
+
+    vg = gradcache_value_and_grad(encode, mnrl_loss)
+
+    @jax.jit
+    def train_many(params, opt_state, ids_a, ids_p):
+        def step(carry, i):
+            params, opt_state = carry
+            ta = chunk_tree({"ids": (ids_a + i) % cfg.vocab_size, "mask": mask},
+                            chunk)
+            tp = chunk_tree({"ids": (ids_p + i) % cfg.vocab_size, "mask": mask},
+                            chunk)
+            loss, grads = vg(params, ta, tp)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(iters, dtype=jnp.int32))
+        return losses[-1]
+
+    float(train_many(params, opt_state, ids_a, ids_p))   # compile + warm
+    best = 0.0
+    for rep in range(2):
+        t0 = time.perf_counter()
+        final_loss = float(train_many(params, opt_state,
+                                      ids_a + rep + 1, ids_p + rep + 1))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final_loss)
+        best = max(best, iters * batch / dt)
+    return {"metric": f"{model}_bitfit_gradcache_train", "batch": batch,
+            "chunk": chunk, "seq": seq, "weight_gb": round(weight_gb, 2),
+            "value": round(best, 2), "unit": "ex/s"}
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -172,6 +238,8 @@ if __name__ == "__main__":
     if mode == "ce":
         for m in ("bf16", "int8"):
             print(json.dumps(bench_ce(m, batch, model)), flush=True)
+    elif mode == "train":
+        print(json.dumps(bench_train(batch, model)), flush=True)
     else:
         for m in (("bf16", "int8") if mode == "both" else (mode,)):
             print(json.dumps(bench(m, batch, model)), flush=True)
