@@ -169,7 +169,6 @@ class EmbeddingEngine:
         # dense_heads: list of dicts {"w", ["b"], "activation", "location"}
         self.heads = {"pre": [], "post": []}
         self.pre_acts, self.post_acts = [], []
-        self.out_dim = cfg.hidden_size
         for h in dense_heads or []:
             loc = h.get("location", "post_pool")
             entry = {"w": jnp.asarray(h["w"])}
@@ -181,7 +180,15 @@ class EmbeddingEngine:
             else:
                 self.heads["post"].append(entry)
                 self.post_acts.append(h.get("activation", "identity"))
-            self.out_dim = entry["w"].shape[1]
+        # output width follows application order (pre heads → pool → post
+        # heads), NOT the list order of dense_heads: the last POST head wins
+        # when both kinds exist
+        if self.heads["post"]:
+            self.out_dim = self.heads["post"][-1]["w"].shape[1]
+        elif self.heads["pre"]:
+            self.out_dim = self.heads["pre"][-1]["w"].shape[1]
+        else:
+            self.out_dim = cfg.hidden_size
         max_seq_len = max_seq_len or cfg.max_position_embeddings
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=specb)
 
@@ -220,10 +227,20 @@ class EmbeddingEngine:
                               if b <= self.codec.max_seq_len]
         for T in lengths:
             B = self._rows_for_bucket(T)
+            if self.sp_mesh is not None:
+                # match encode(): T pads to a multiple of the sp axis size
+                n = int(np.prod(list(self.sp_mesh.shape.values())))
+                T = (T + n - 1) // n * n
             ids = np.zeros((B, T), np.int32)
             mask = np.ones((B, T), np.int32)
-            _embed_step(self.params, self.heads, jnp.asarray(ids),
-                        jnp.asarray(mask), self.learned_weights, self.cfg,
+            ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+            if self.mesh is not None:
+                # match encode()'s input placement, or jit compiles for the
+                # single-device layout and recompiles on first real traffic
+                ids_j = jax.device_put(ids_j, self._data_sharding)
+                mask_j = jax.device_put(mask_j, self._data_sharding)
+            _embed_step(self.params, self.heads, ids_j, mask_j,
+                        self.learned_weights, self.cfg,
                         self.method, self.layeridx, self.normalize,
                         self.has_learned_weights,
                         tuple(self.pre_acts), tuple(self.post_acts),
@@ -316,7 +333,12 @@ class EmbeddingEngine:
         if not hasattr(self, "_fp"):
             h = hashlib.sha1()
             samples = []
-            for leaf in jax.tree.leaves(self.params):
+            # heads and learned pooling weights are part of the embedding
+            # model's identity: two engines sharing a decoder but differing
+            # in a dense head or learnt position weights must not share
+            # cached embeddings (review finding)
+            aux = (self.params, self.heads, self.learned_weights)
+            for leaf in jax.tree.leaves(aux):
                 h.update(str(leaf.shape).encode())
                 # slice on device, fetch only 16 elements per leaf
                 samples.append(jnp.ravel(leaf)[:16].astype(jnp.float32))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.pooling import normalize
-from .ops.topk import blockmax_topk, merge_topk
+from .ops.topk import blockmax_topk
 
 
 def _round_up(n: int, m: int) -> int:
@@ -54,6 +54,7 @@ class DenseIndex:
         self._corpus = None       # device array after build()
         self._count = 0
         self._search_fn = None
+        self._slab_eff = self.slab_size   # set per corpus by _padded_size
 
     # ------------------------------------------------------------------
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
@@ -96,14 +97,27 @@ class DenseIndex:
         return idx
 
     def _padded_size(self, n: int, n_dev: int) -> int:
-        """Corpus rows after padding: multiple of block_size*n_dev, and — when
-        a shard would exceed the slab budget — of slab_size*n_dev, so the
-        per-shard slab scan always tiles evenly (never silently falls back to
-        one whole-shard slab, which would defeat the HBM budget)."""
+        """Corpus rows after padding: always a multiple of block_size*n_dev.
+
+        When a shard exceeds the slab budget, the shard splits into k EQUAL
+        block-aligned slabs (k = ceil(shard_blocks/slab_blocks), effective
+        slab = ceil(shard_blocks/k) blocks ≤ slab_size) and pads to
+        k·slab_eff rows. Padding is bounded by ~k·block_size·n_dev rows —
+        the old round-up-to-slab_size·n_dev scheme could pad nearly a whole
+        slab per device (≈8 GB of zero rows at D=4096/bf16 for n just past
+        one slab), an OOM risk in exactly the memory regime slab_size
+        protects (review finding). Sets self._slab_eff for the search fn."""
         granularity = self.block_size * n_dev
-        if n > self.slab_size * n_dev:
-            granularity = self.slab_size * n_dev
-        return max(_round_up(n, granularity), granularity)
+        n_pad = max(_round_up(n, granularity), granularity)
+        shard = n_pad // n_dev
+        self._slab_eff = self.slab_size
+        if shard > self.slab_size:
+            shard_blocks = shard // self.block_size
+            slab_blocks = self.slab_size // self.block_size
+            k = -(-shard_blocks // slab_blocks)
+            self._slab_eff = -(-shard_blocks // k) * self.block_size
+            n_pad = k * self._slab_eff * n_dev
+        return n_pad
 
     def build(self):
         """Pad to static shape and place on device(s)."""
@@ -140,16 +154,16 @@ class DenseIndex:
             def search(queries, k: int):
                 return blockmax_topk(queries, self._corpus, self._count, k=k,
                                      block_size=block_size,
-                                     slab_size=self.slab_size)
+                                     slab_size=self._slab_eff)
             return search
 
         mesh = self.mesh
         n_dev = mesh.shape["dp"]
         shard_n = self._corpus.shape[0] // n_dev
         count = self._count
-        # slab must tile the shard evenly for the in-shard scan; fall back to
-        # one slab when it doesn't (blockmax_topk does the same internally)
-        slab = self.slab_size if shard_n % self.slab_size == 0 else shard_n
+        # _padded_size guarantees shard_n tiles by _slab_eff; keep the
+        # whole-shard fallback for defense (blockmax_topk does the same)
+        slab = self._slab_eff if shard_n % self._slab_eff == 0 else shard_n
         from jax.sharding import PartitionSpec as P
 
         def shard_search(queries, corpus_shard, k: int):
@@ -190,6 +204,11 @@ class DenseIndex:
         docs. A consistent ragged return beats an ndarray that silently turns
         into a list on the rare under-filled-index case."""
         q = np.asarray(query_embeddings, np.float32)
+        if self._corpus is None and self._chunks:
+            raise RuntimeError(
+                "search before build(): added embeddings are still pending — "
+                "call build() first (searching now would silently return "
+                "zero hits)")
         if self._count == 0:
             return ([np.zeros((0,), np.float32) for _ in q], [[] for _ in q])
         qd = jnp.asarray(q, self.dtype)

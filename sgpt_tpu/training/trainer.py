@@ -108,7 +108,6 @@ class ContrastiveTrainer:
         self.best_score = -1e9
         self.best_params = None
         self.best_aux = None
-        self._step_fn = None
         self._opt = None
 
         # auxiliary trainable params outside the decoder (stay trainable even
@@ -284,7 +283,10 @@ class ContrastiveTrainer:
             evaluator: Optional[Callable] = None) -> dict:
         """train_batches(): fresh iterator of batches each epoch.
 
-        evaluator(params) -> float; higher is better (ST convention).
+        evaluator(params) -> float; higher is better (ST convention). An
+        evaluator taking TWO positional args receives (params, aux) so it can
+        apply trained dense heads / learnt position weights — otherwise
+        best-model selection scores a model without them.
         Returns {'params', 'best_params', 'best_score', 'history'}.
         """
         tc = self.tc
@@ -348,7 +350,16 @@ class ContrastiveTrainer:
             tokenizer_name=tokenizer_name)
 
     def _evaluate(self, evaluator, step, history):
-        score = float(evaluator(self.params))
+        import inspect
+        try:
+            n_args = len([p for p in inspect.signature(evaluator).parameters
+                          .values() if p.default is inspect.Parameter.empty
+                          and p.kind in (p.POSITIONAL_ONLY,
+                                         p.POSITIONAL_OR_KEYWORD)])
+        except (TypeError, ValueError):
+            n_args = 1
+        score = float(evaluator(self.params, self.aux) if n_args >= 2
+                      else evaluator(self.params))
         record = {"step": step, "eval_score": score}
         history.append(record)
         if self.tc.log_fn:
@@ -389,4 +400,12 @@ class ContrastiveTrainer:
                                                   "aux": self.aux})
         self.params = jax.tree.map(jnp.asarray, tree["model"])
         self.aux = jax.tree.map(jnp.asarray, tree.get("aux", self.aux))
+        if self.mesh is not None:
+            # re-apply the construction-time layout: restore() otherwise
+            # materializes the full tree unsharded on one device — an OOM at
+            # TP-sharded 6B scale, and a silent layout change below it
+            from ..parallel import shard_params
+            self.params = shard_params(self.params, self.mesh)
+            self.aux = jax.tree.map(
+                lambda x: jax.device_put(x, self._replicated), self.aux)
         return self

@@ -1,0 +1,124 @@
+"""Regressions for the round-2 path-review findings (encoder/index/trainer)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgpt_tpu.encoder import EmbeddingEngine
+from sgpt_tpu.index import DenseIndex
+from sgpt_tpu.models import tiny, init_params
+from sgpt_tpu.tokenization import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = tiny("neo")
+    return cfg, init_params(cfg, jax.random.key(0)), \
+        SimpleTokenizer(vocab_size=cfg.vocab_size)
+
+
+def test_cache_key_distinguishes_heads_and_learned_weights(tmp_path, small):
+    """Two engines sharing a decoder but differing in dense heads or learnt
+    pooling weights must not collide in the embedding cache (the old key
+    hashed only decoder params → engine B silently served A's vectors)."""
+    cfg, params, tok = small
+    D = cfg.hidden_size
+    base = EmbeddingEngine(params, cfg, tok, cache_dir=str(tmp_path),
+                           batch_size=2, max_seq_len=16)
+    with_head = EmbeddingEngine(
+        params, cfg, tok, cache_dir=str(tmp_path), batch_size=2,
+        max_seq_len=16,
+        dense_heads=[{"w": np.ones((D, 4), np.float32),
+                      "location": "post_pool"}])
+    with_lw = EmbeddingEngine(
+        params, cfg, tok, cache_dir=str(tmp_path), batch_size=2,
+        max_seq_len=16, learned_weights=jnp.full((16,), 2.0, jnp.float32))
+    texts = ["hello world"]
+    keys = {e._cache_key(texts, False) for e in (base, with_head, with_lw)}
+    assert len(keys) == 3
+
+    # end to end: the head engine must get 4-wide vectors, not base's cached
+    base.encode(texts)
+    emb = with_head.encode(texts)
+    assert emb.shape == (1, 4)
+
+
+def test_out_dim_follows_application_order(small):
+    """A pre_pool head listed AFTER a post_pool head must not win out_dim:
+    application order is pre → pool → post."""
+    cfg, params, tok = small
+    D = cfg.hidden_size
+    eng = EmbeddingEngine(
+        params, cfg, tok, batch_size=2, max_seq_len=16,
+        dense_heads=[{"w": np.ones((D, 4), np.float32), "location": "post_pool"},
+                     {"w": np.ones((D, D), np.float32), "location": "pre_pool"}])
+    assert eng.out_dim == 4
+    emb = eng.encode(["a", "b"])
+    assert emb.shape == (2, 4)
+
+
+def test_index_search_before_build_raises():
+    idx = DenseIndex(8, dtype=jnp.float32)
+    idx.add(np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="before build"):
+        idx.search_embeddings(np.zeros((1, 8), np.float32), k=2)
+
+
+def test_padded_size_bounded():
+    """Padding must stay ~k·block·n_dev rows, not up to a whole slab per
+    device (the old scheme nearly doubled corpus HBM for n just past one
+    slab per shard)."""
+    idx = DenseIndex(8, block_size=128, slab_size=1 << 20)
+    n = (1 << 20) + 1                    # one doc past the slab budget
+    n_pad = idx._padded_size(n, 1)
+    assert n_pad - n < 4 * 128           # a few blocks, not ~1M rows
+    assert n_pad % idx._slab_eff == 0
+    assert idx._slab_eff <= idx.slab_size
+    assert idx._slab_eff % idx.block_size == 0
+    # sharded variant
+    n_pad8 = idx._padded_size(9_000_000, 8)
+    shard = n_pad8 // 8
+    assert shard % idx._slab_eff == 0
+    assert n_pad8 - 9_000_000 < 8 * 16 * 128
+
+
+def test_trainer_restore_keeps_mesh_sharding(tmp_path):
+    from sgpt_tpu.parallel import make_mesh
+    from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(dp=2, tp=2)
+    cfg = tiny("neo", num_layers=2, hidden_size=64, num_heads=4, vocab_size=256)
+    tok = SimpleTokenizer(vocab_size=256)
+    tr = ContrastiveTrainer(init_params(cfg, jax.random.key(0)), cfg, tok,
+                            TrainConfig(batch_size=4, max_seq_len=16, lr=1e-3,
+                                        output_dir=str(tmp_path)), mesh=mesh)
+    want = {k: v.sharding for k, v in
+            jax.tree_util.tree_leaves_with_path(tr.params)}
+    tr.save_model(str(tmp_path / "m"))
+    tr.restore(str(tmp_path / "m"))
+    got = {k: v.sharding for k, v in
+           jax.tree_util.tree_leaves_with_path(tr.params)}
+    assert got == want
+
+
+def test_evaluator_receives_aux_when_requested():
+    from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
+
+    cfg = tiny("neo", num_layers=1, hidden_size=32, num_heads=2, vocab_size=256)
+    tok = SimpleTokenizer(vocab_size=256)
+    tr = ContrastiveTrainer(init_params(cfg, jax.random.key(0)), cfg, tok,
+                            TrainConfig(batch_size=2, max_seq_len=16, lr=1e-3,
+                                        pooling="learned_weightedmean",
+                                        eval_steps=1))
+    seen = {}
+
+    def evaluator(params, aux):
+        seen["aux"] = aux
+        return 1.0
+
+    batch = [("a", "b"), ("c", "d")]
+    tr.fit(lambda: iter([batch]), steps_per_epoch=1, evaluator=evaluator)
+    assert "pos_weights" in seen.get("aux", {})
