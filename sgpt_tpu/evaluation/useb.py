@@ -252,12 +252,20 @@ class TwitterParaEvaluator:
 # SciDocs
 # ---------------------------------------------------------------------------
 
+def _trec_rank(run: Dict[str, float]):
+    """trec_eval ordering: score descending, ties by DESCENDING doc id
+    (trec_eval sorts docno descending within equal scores; ascending-id
+    tie-break diverged from the reference exactly on tied scores)."""
+    by_id_desc = sorted(run.items(), key=lambda x: x[0], reverse=True)
+    return sorted(by_id_desc, key=lambda x: -x[1])  # stable
+
+
 def _trec_map(rel: Dict[str, int], run: Dict[str, float]) -> float:
     """Untruncated trec_eval 'map' (binary rel>0, / total relevant)."""
     pos = {d for d, g in rel.items() if g > 0}
     if not pos:
         return 0.0
-    ranked = sorted(run.items(), key=lambda x: (-x[1], x[0]))
+    ranked = _trec_rank(run)
     hits, ap = 0, 0.0
     for i, (d, _) in enumerate(ranked):
         if d in pos:
@@ -268,7 +276,7 @@ def _trec_map(rel: Dict[str, int], run: Dict[str, float]) -> float:
 
 def _trec_ndcg(rel: Dict[str, int], run: Dict[str, float]) -> float:
     """Untruncated trec_eval 'ndcg' (graded gains, log2 discount)."""
-    ranked = sorted(run.items(), key=lambda x: (-x[1], x[0]))
+    ranked = _trec_rank(run)
     dcg = sum(rel.get(d, 0) / np.log2(i + 2) for i, (d, _) in enumerate(ranked))
     ideal = sum(g / np.log2(i + 2)
                 for i, g in enumerate(sorted(rel.values(), reverse=True)) if g > 0)
@@ -285,6 +293,9 @@ class SciDocsEvaluator:
             self.data = json.load(f)
 
     def _title(self, pid: str) -> Optional[str]:
+        """None = paper absent from the corpus; '' = present but untitled
+        (the reference embeds untitled papers as empty strings,
+        scidocs.py:32-47 — they must NOT be dropped like absent ones)."""
         e = self.data["corpus"].get(pid)
         return (e["title"] or "") if e else None
 
@@ -293,7 +304,7 @@ class SciDocsEvaluator:
         # single embedding pass over every pid with a title
         pids = sorted({p for qrel in qrels.values()
                        for qid, docs in qrel.items()
-                       for p in [qid, *docs] if self._title(p)})
+                       for p in [qid, *docs] if self._title(p) is not None})
         emb = _embed(self.semb_fn, [self._title(p) for p in pids], normalize)
         index = {p: i for i, p in enumerate(pids)}
 
@@ -301,13 +312,16 @@ class SciDocsEvaluator:
         for dname, qrel in qrels.items():
             maps_c, ndcgs_c, maps_e, ndcgs_e = [], [], [], []
             for qid, doc_dict in qrel.items():
-                if not self._title(qid):
+                if self._title(qid) is None:
                     continue
-                dids = [d for d in doc_dict if self._title(d)]
+                dids = [d for d in doc_dict if self._title(d) is not None]
                 if not dids:
                     continue
                 q = emb[index[qid]]
                 D = emb[[index[d] for d in dids]]
+                # explicit cosine normalization (redundant when normalize=True
+                # but required when False; euclidean below uses the raw emb,
+                # so the flag still matters there)
                 qe = q / max(np.linalg.norm(q), 1e-12)
                 De = D / np.clip(np.linalg.norm(D, axis=1, keepdims=True), 1e-12, None)
                 cos = De @ qe

@@ -68,9 +68,12 @@ class SGPTModel:
         os.makedirs(path, exist_ok=True)
         manifest = {
             "format": "sgpt_tpu.v1",
-            "cfg": {k: (v if not hasattr(v, "__name__") else str(v))
-                    for k, v in dataclasses.asdict(self.cfg).items()
-                    if k != "dtype"},
+            # dtype serializes by canonical name so a bf16 model reloads as
+            # bf16 (dropping it silently reloaded as float32: different
+            # numerics, ~2x the HBM/compute — review finding)
+            "cfg": {**{k: v for k, v in dataclasses.asdict(self.cfg).items()
+                       if k != "dtype"},
+                    "dtype": jnp.dtype(self.cfg.dtype).name},
             "method": self.method,
             "specb": self.specb,
             "layeridx": self.layeridx,
@@ -100,11 +103,14 @@ class SGPTModel:
     def load(cls, path: str, tokenizer: Optional[Tokenizer] = None) -> "SGPTModel":
         with open(os.path.join(path, MANIFEST)) as f:
             manifest = json.load(f)
-        cfg = DecoderConfig(**manifest["cfg"])
+        cfg_dict = dict(manifest["cfg"])
+        if "dtype" in cfg_dict:
+            cfg_dict["dtype"] = {"float32": jnp.float32,
+                                 "bfloat16": jnp.bfloat16,
+                                 "float16": jnp.float16}[cfg_dict["dtype"]]
+        cfg = DecoderConfig(**cfg_dict)
 
-        # rebuild the template tree for npz restore
-        template = None
-        tree = load_checkpoint(os.path.join(path, "weights"), like_params=template)
+        tree = load_checkpoint(os.path.join(path, "weights"))
         params = tree["decoder"]
         heads_meta = manifest.get("dense_heads", [])
         dense_heads = None

@@ -16,9 +16,8 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .encoder import EmbeddingEngine
 from .ops.pooling import normalize
-from .ops.topk import blockmax_topk, chunked_topk
+from .ops.topk import blockmax_topk
 
 logger = logging.getLogger(__name__)
 
@@ -31,15 +30,21 @@ class DenseRetriever:
     """search(corpus, queries, top_k) → {qid: {docid: score}} (BEIR results shape)."""
 
     def __init__(self, model, *, score_function: str = "cos_sim",
-                 corpus_chunk_size: int = 50000, device_chunk: int = 8192,
-                 batch_size: Optional[int] = None):
-        """model: anything with encode_queries(list[str]) / encode_corpus(list[dict])."""
+                 corpus_chunk_size: int = 50000, device_chunk: int = 8192):
+        """model: anything with encode_queries(list[str]) / encode_corpus(list[dict]).
+
+        corpus_chunk_size: docs encoded per host round (exact_search.py:80).
+        device_chunk: max docs scored per device matmul — bounds the (Q,
+        device_chunk) score slab in HBM (wired to blockmax_topk's slab
+        scan). The reference's per-encode batch_size lives on the model
+        itself here (EmbeddingEngine(batch_size=...)), not on the retriever.
+        """
         if score_function not in ("cos_sim", "dot"):
             raise ValueError("score_function must be 'cos_sim' or 'dot'")
         self.model = model
         self.score_function = score_function
         self.corpus_chunk_size = corpus_chunk_size
-        self.device_chunk = device_chunk
+        self.device_chunk = max(128, device_chunk)
 
     def search(self, corpus: Dict[str, Dict[str, str]], queries: Dict[str, str],
                top_k: int, **kw) -> Dict[str, Dict[str, float]]:
@@ -74,7 +79,8 @@ class DenseRetriever:
             # block-max candidate filtering: exact top-k at matmul speed
             # (ops/topk.blockmax_topk; replaces the reference's torch.topk+heapq)
             vals, idx = blockmax_topk(jnp.asarray(q_emb), jnp.asarray(pad), n,
-                                      k=min(k, n_pad), block_size=128)
+                                      k=min(k, n_pad), block_size=128,
+                                      slab_size=self.device_chunk)
             vals, idx = np.asarray(vals), np.asarray(idx).astype(np.int64) + start
             if vals.shape[1] < k:  # corpus chunk smaller than k
                 fill = np.full((Q, k - vals.shape[1]), -np.inf, np.float32)

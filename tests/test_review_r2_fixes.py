@@ -122,3 +122,59 @@ def test_evaluator_receives_aux_when_requested():
     batch = [("a", "b"), ("c", "d")]
     tr.fit(lambda: iter([batch]), steps_per_epoch=1, evaluator=evaluator)
     assert "pos_weights" in seen.get("aux", {})
+
+
+def test_sgptmodel_save_load_preserves_dtype(tmp_path):
+    """bf16 models must reload as bf16 — dropping dtype from the manifest
+    silently reloaded them as float32 (different numerics, 2x HBM)."""
+    from sgpt_tpu.model import SGPTModel
+
+    cfg = tiny("neo").replace(dtype=jnp.bfloat16)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    m = SGPTModel(init_params(cfg, jax.random.key(0)), cfg, tok)
+    m.save(str(tmp_path / "m"))
+    m2 = SGPTModel.load(str(tmp_path / "m"), tokenizer=tok)
+    assert jnp.dtype(m2.cfg.dtype) == jnp.dtype(jnp.bfloat16)
+    a = m.encode(["hello"])
+    b = m2.encode(["hello"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_trec_tie_break_descending_docid():
+    """trec_eval orders equal scores by DESCENDING doc id; with only the
+    larger id relevant, ascending tie-break under-reports AP."""
+    from sgpt_tpu.evaluation.useb import _trec_map, _trec_ndcg
+
+    rel = {"a": 0, "b": 1}
+    run = {"a": 0.5, "b": 0.5}            # tie: 'b' (larger id) ranks first
+    assert _trec_map(rel, run) == 1.0
+    assert _trec_ndcg(rel, run) == 1.0
+
+
+def test_scidocs_untitled_paper_not_dropped(tmp_path):
+    """A paper present in the corpus with a null/empty title embeds as ''
+    (reference scidocs.py behavior) instead of vanishing from queries and
+    candidate pools like an absent paper."""
+    import json
+    from sgpt_tpu.evaluation.useb import SciDocsEvaluator
+
+    data = {
+        "corpus": {"q1": {"title": "query paper"},
+                   "d1": {"title": None},          # untitled but PRESENT
+                   "d2": {"title": "other paper"}},
+        "test": {"cite": {"q1": {"d1": 1, "d2": 0}}},
+    }
+    d = tmp_path / "scidocs"
+    d.mkdir()
+    (d / "data.json").write_text(json.dumps(data))
+
+    def semb(texts):
+        rng = np.random.default_rng(0)
+        return rng.normal(size=(len(texts), 8)).astype(np.float32)
+
+    ev = SciDocsEvaluator(semb, str(d))
+    res = ev.run("test")
+    # d1 (the only relevant doc) is in the pool: MAP over {d1, d2} is
+    # 100 or 50 (x100 USEB convention) depending on rank — dropping d1
+    # would yield MAP 0
+    assert res["map_scidocs_cite_cosine"] in (50.0, 100.0)
