@@ -50,8 +50,8 @@ void evaluate_queries(int32_t n_queries, const int64_t* offsets,
     const int32_t n = static_cast<int32_t>(hi - lo);
     order.resize(n);
     std::iota(order.begin(), order.end(), 0);
-    // sort by score desc; stable so the caller's tie-break order (doc id asc)
-    // is preserved — matches the Python reference implementation
+    // sort by score desc; stable so the caller's tie-break order (doc id desc,
+    // trec_eval convention) is preserved — matches the Python path
     std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
       return scores[lo + a] > scores[lo + b];
     });

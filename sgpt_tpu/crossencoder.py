@@ -70,6 +70,11 @@ class CrossEncoderRanker:
             prompt_doc[: prompt_doc.index("{")])) if use_prompt else 0
         self.fewshot_prefix = ""
         if fewshots:
+            if not use_prompt:
+                # predict() builds the context WITHOUT the prefix when
+                # use_prompt=False, but instruction_len would still count it,
+                # pinning the document head as if it were instruction
+                raise ValueError("fewshots require use_prompt=True")
             self.fewshot_prefix = prompt_doc_start.format(fewshots[0], fewshots[1])
             self.instruction_len += len(tokenizer.encode(self.fewshot_prefix))
 
@@ -83,6 +88,19 @@ class CrossEncoderRanker:
     def _pack(self, context_enc: List[int], continuation_enc: List[int]):
         """Instruction-preserving left truncation (sgptce.py:199-205)."""
         ilen = min(self.instruction_len, len(context_enc))
+        if ilen + len(continuation_enc) > self.max_length + 1:
+            # the protected instruction prefix plus the continuation exceed
+            # the window: truncation would eat continuation tokens while the
+            # caller still scores the FULL continuation, gathering log-probs
+            # at positions inside the instruction (silently-garbage scores;
+            # the reference has the same latent misalignment — we raise, as
+            # the len(cont) > max_length guard in score_pairs already does)
+            raise ValueError(
+                f"instruction ({ilen} tokens) + continuation "
+                f"({len(continuation_enc)}) exceed max_length+1 "
+                f"({self.max_length + 1}): continuation tokens would be "
+                "truncated away — shorten the instruction/few-shot prefix "
+                "or raise max_length")
         body = (context_enc[ilen:] + continuation_enc)[-(self.max_length + 1 - ilen):]
         inp = (context_enc[:ilen] + body)[:-1]
         return inp, len(inp), len(continuation_enc)

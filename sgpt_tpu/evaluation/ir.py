@@ -25,7 +25,8 @@ class InformationRetrievalEvaluator:
                  accuracy_at: Sequence[int] = (1, 3, 5, 10),
                  precision_recall_at: Sequence[int] = (1, 3, 5, 10),
                  map_at: Sequence[int] = (100,),
-                 main_metric: str = "map@100", name: str = ""):
+                 main_metric: str = "map@100", name: str = "",
+                 corpus_chunk_size: int = 50000):
         self.qids = [q for q in queries if q in relevant_docs and relevant_docs[q]]
         self.queries = queries
         self.corpus = corpus
@@ -34,24 +35,49 @@ class InformationRetrievalEvaluator:
         self.accuracy_at, self.pr_at, self.map_at = accuracy_at, precision_recall_at, map_at
         self.main_metric = main_metric
         self.name = name
+        self.corpus_chunk_size = corpus_chunk_size
+        produced = ({f"accuracy@{k}" for k in accuracy_at}
+                    | {f"precision@{k}" for k in precision_recall_at}
+                    | {f"recall@{k}" for k in precision_recall_at}
+                    | {f"mrr@{k}" for k in mrr_at}
+                    | {f"ndcg@{k}" for k in ndcg_at}
+                    | {f"map@{k}" for k in map_at})
+        if main_metric not in produced:
+            # fail BEFORE the expensive encode, not at the final logging line
+            raise ValueError(f"main_metric {main_metric!r} is not produced by "
+                             f"the configured k values ({sorted(produced)})")
 
     def compute(self, encode_query_fn, encode_corpus_fn=None) -> dict:
         encode_corpus_fn = encode_corpus_fn or encode_query_fn
         doc_ids = list(self.corpus)
         q_emb = np.asarray(encode_query_fn([self.queries[q] for q in self.qids]))
-        d_emb = np.asarray(encode_corpus_fn([self.corpus[d] for d in doc_ids]))
-
         qn = q_emb / np.clip(np.linalg.norm(q_emb, axis=1, keepdims=True), 1e-12, None)
-        dn = d_emb / np.clip(np.linalg.norm(d_emb, axis=1, keepdims=True), 1e-12, None)
-        scores = qn @ dn.T
+
         max_k = max([*self.mrr_at, *self.ndcg_at, *self.accuracy_at,
                      *self.pr_at, *self.map_at])
-        top = np.argsort(-scores, axis=1)[:, :max_k]
-
-        results = {
-            qid: {doc_ids[j]: float(scores[i, j]) for j in top[i]}
-            for i, qid in enumerate(self.qids)
-        }
+        Q = len(self.qids)
+        # Chunked corpus pass with a running top-k per query, like the parity
+        # target (InformationRetrievalEvaluator.py corpus_chunk_size=50000):
+        # the full (Q, D) score matrix for an MSMARCO-scale dev corpus is
+        # ~14 GB and was materialized whole (review finding). argpartition
+        # bounds per-chunk sort cost to O(C + k log k) per query.
+        results = {qid: {} for qid in self.qids}
+        for start in range(0, len(doc_ids), self.corpus_chunk_size):
+            chunk_ids = doc_ids[start : start + self.corpus_chunk_size]
+            d_emb = np.asarray(encode_corpus_fn(
+                [self.corpus[d] for d in chunk_ids]))
+            dn = d_emb / np.clip(np.linalg.norm(d_emb, axis=1, keepdims=True),
+                                 1e-12, None)
+            scores = qn @ dn.T                      # (Q, C)
+            kk = min(max_k, scores.shape[1])
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            for i, qid in enumerate(self.qids):
+                r = results[qid]
+                for j in part[i]:
+                    r[chunk_ids[j]] = float(scores[i, j])
+                if len(r) > max_k:   # prune the running set to top max_k
+                    keep = sorted(r.items(), key=lambda x: -x[1])[:max_k]
+                    results[qid] = dict(keep)
         qrels = {q: {d: 1 for d in self.relevant[q]} for q in self.qids}
 
         out = {}

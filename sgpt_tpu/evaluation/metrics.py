@@ -17,7 +17,10 @@ Results = Mapping[str, Mapping[str, float]]
 
 
 def _ranked_docs(scores: Mapping[str, float], k: int) -> List[str]:
-    return [d for d, _ in sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]]
+    # trec_eval/pytrec_eval order equal scores by DESCENDING doc id; two-pass
+    # stable sort (id desc, then score desc) since strings don't negate
+    by_id_desc = sorted(scores.items(), key=lambda x: x[0], reverse=True)
+    return [d for d, _ in sorted(by_id_desc, key=lambda x: -x[1])[:k]]
 
 
 def dcg(gains: Sequence[float]) -> float:

@@ -79,8 +79,9 @@ def evaluate_retrieval_native(qrels, results,
     for q in qids:
         rel = qrels[q]
         run = results.get(q, {})
-        # doc-id-ascending pre-sort gives the same tie-break as the python path
-        docs = sorted(run)
+        # doc-id-DESCENDING pre-sort + the engine's stable score sort gives
+        # trec_eval's tie-break (equal scores order by descending doc id)
+        docs = sorted(run, reverse=True)
         scores_l.extend(run[d] for d in docs)
         grades_l.extend(rel.get(d, 0) for d in docs)
         offsets.append(offsets[-1] + len(docs))

@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .ops.similarity import cos_sim, dot_score
+from .ops.similarity import cos_sim, dot_score, pairwise_cos_sim
 
 
 def _cross_entropy(scores: jax.Array, labels: jax.Array) -> jax.Array:
@@ -113,19 +113,30 @@ def contrastive_loss(u, v, labels, *, margin: float = 0.5,
 def online_contrastive_loss(u, v, labels, *, margin: float = 0.5,
                             distance: str = "cosine") -> jax.Array:
     """ContrastiveLoss over hard pairs only: positives farther than the closest
-    negative, negatives closer than the farthest positive."""
+    negative, negatives closer than the farthest positive.
+
+    Reference parity (OnlineContrastiveLoss.py:42-53): returns the
+    UNNORMALIZED sum (dividing by the hard-pair count rescaled gradients by
+    ~batch size vs the reference — review finding), and single-positive /
+    single-negative batches fall back to mean-based thresholds exactly as
+    the reference's `len(x) > 1` guards do."""
     dist = _cosine_distance if distance == "cosine" else _euclidean
     d = dist(u, v)
     y = labels.astype(bool)
     NEG_BIG = jnp.float32(1e9)
+    n_pos = jnp.sum(y)
+    n_neg = jnp.sum(~y)
     neg_min = jnp.min(jnp.where(~y, d, NEG_BIG))
     pos_max = jnp.max(jnp.where(y, d, -NEG_BIG))
-    hard_pos = jnp.logical_and(y, d > neg_min)
-    hard_neg = jnp.logical_and(~y, d < pos_max)
+    pos_mean = jnp.sum(jnp.where(y, d, 0.0)) / jnp.clip(n_pos, 1)
+    neg_mean = jnp.sum(jnp.where(~y, d, 0.0)) / jnp.clip(n_neg, 1)
+    pos_threshold = jnp.where(n_neg > 1, neg_min, pos_mean)
+    neg_threshold = jnp.where(n_pos > 1, pos_max, neg_mean)
+    hard_pos = jnp.logical_and(y, d > pos_threshold)
+    hard_neg = jnp.logical_and(~y, d < neg_threshold)
     pos_term = jnp.where(hard_pos, jnp.square(d), 0.0)
     neg_term = jnp.where(hard_neg, jnp.square(jnp.maximum(margin - d, 0.0)), 0.0)
-    n = jnp.clip(jnp.sum(hard_pos) + jnp.sum(hard_neg), 1)
-    return (jnp.sum(pos_term) + jnp.sum(neg_term)) / n
+    return jnp.sum(pos_term) + jnp.sum(neg_term)
 
 
 def margin_mse_loss(queries, positives, negatives, gold_margins) -> jax.Array:
@@ -284,7 +295,13 @@ def batch_semi_hard_triplet_loss(labels: jax.Array, embeddings: jax.Array, *,
     negatives_outside = jnp.min(jnp.where(outside_mask, d[:, None, :], big + 1.0),
                                 axis=2)
     has_outside = jnp.any(outside_mask, axis=2)
-    negatives_inside = jnp.max(jnp.where(neg, d, -jnp.inf), axis=1)  # (a,)
+    # anchors with NO valid negative at all: the reference's _masked_maximum
+    # returns the finite row minimum, not -inf (which would make the loss inf
+    # and the gradients NaN on an all-same-label batch — review finding)
+    has_neg = jnp.any(neg, axis=1)
+    negatives_inside = jnp.where(
+        has_neg, jnp.max(jnp.where(neg, d, -jnp.inf), axis=1),
+        jnp.min(d, axis=1))                                   # (a,)
     semi_hard = jnp.where(has_outside, negatives_outside,
                           negatives_inside[:, None])
     loss_mat = d - semi_hard + margin
@@ -299,13 +316,11 @@ def megabatch_margin_loss(anchors, positives, *, positive_margin: float = 0.8,
     the most-similar OTHER positive; loss = relu(pos_margin − cos(a, p))
     + relu(cos(a, hardest_neg) − neg_margin). Hardest-negative selection is
     non-differentiated (the reference picks it under no_grad)."""
-    from .ops.similarity import cos_sim
     n = anchors.shape[0]
     scores = cos_sim(anchors, positives)                      # (n, n)
     neg_scores = scores - 2.0 * jnp.eye(n, dtype=scores.dtype)
     hard_ids = jax.lax.stop_gradient(jnp.argmax(neg_scores, axis=1))
     hard_negs = positives[hard_ids]
-    from .ops.similarity import pairwise_cos_sim
     pos_cos = pairwise_cos_sim(anchors, positives)
     neg_cos = pairwise_cos_sim(anchors, hard_negs)
     return jnp.mean(jnp.maximum(positive_margin - pos_cos, 0.0)

@@ -178,3 +178,111 @@ def test_scidocs_untitled_paper_not_dropped(tmp_path):
     # 100 or 50 (x100 USEB convention) depending on rank — dropping d1
     # would yield MAP 0
     assert res["map_scidocs_cite_cosine"] in (50.0, 100.0)
+
+
+def test_online_contrastive_matches_reference_formula():
+    """Unnormalized SUM over hard pairs + the reference's single-pos/neg
+    mean-threshold fallbacks (OnlineContrastiveLoss.py:42-53)."""
+    from sgpt_tpu.losses import online_contrastive_loss
+
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(6, 5)).astype(np.float32)
+    v = rng.normal(size=(6, 5)).astype(np.float32)
+    y = np.array([1, 1, 1, 0, 0, 0], np.int32)
+    margin = 0.5
+
+    def ref(u, v, y):
+        un = u / np.linalg.norm(u, axis=1, keepdims=True)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        d = 1.0 - np.sum(un * vn, axis=1)
+        poss, negs = d[y == 1], d[y == 0]
+        neg_thr = poss.max() if len(poss) > 1 else negs.mean()
+        pos_thr = negs.min() if len(negs) > 1 else poss.mean()
+        hard_neg = negs[negs < neg_thr]
+        hard_pos = poss[poss > pos_thr]
+        return (hard_pos ** 2).sum() + \
+               (np.maximum(margin - hard_neg, 0) ** 2).sum()
+
+    got = float(online_contrastive_loss(jnp.asarray(u), jnp.asarray(v),
+                                        jnp.asarray(y), margin=margin))
+    np.testing.assert_allclose(got, ref(u, v, y), rtol=1e-5)
+
+    # single-positive batch exercises the mean-threshold fallback
+    y1 = np.array([1, 0, 0, 0, 0, 0], np.int32)
+    got1 = float(online_contrastive_loss(jnp.asarray(u), jnp.asarray(v),
+                                         jnp.asarray(y1), margin=margin))
+    np.testing.assert_allclose(got1, ref(u, v, y1), rtol=1e-5)
+
+
+def test_batch_semi_hard_finite_on_single_label_batch():
+    """All-same-label batch: no valid negatives anywhere. The reference's
+    _masked_maximum falls back to the row minimum — loss and grads must be
+    finite, not inf/NaN."""
+    from sgpt_tpu.losses import batch_semi_hard_triplet_loss
+
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    labels = jnp.zeros((4,), jnp.int32)
+    loss, grad = jax.value_and_grad(
+        lambda e: batch_semi_hard_triplet_loss(labels, e))(emb)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_metrics_tie_break_descending_docid():
+    """pytrec_eval orders equal scores by DESCENDING doc id (both the python
+    metrics and the native engine path must agree)."""
+    from sgpt_tpu.evaluation.metrics import mrr_at_k, precision_at_k
+
+    qrels = {"q": {"B": 1}}
+    results = {"q": {"A": 1.0, "B": 1.0}}     # tie: B (larger id) first
+    assert mrr_at_k(qrels, results, 2) == 1.0
+    assert precision_at_k(qrels, results, 1) == 1.0
+
+
+def test_ir_evaluator_chunked_matches_single_pass():
+    """corpus_chunk_size must not change any metric (running top-k prune)."""
+    from sgpt_tpu.evaluation.ir import InformationRetrievalEvaluator
+
+    rng = np.random.default_rng(9)
+    emb = {f"t{i}": rng.normal(size=8).astype(np.float32) for i in range(40)}
+    queries = {f"q{i}": f"t{i}" for i in range(5)}
+    corpus = {f"d{i}": f"t{i}" for i in range(40)}
+    relevant = {f"q{i}": {f"d{i}"} for i in range(5)}
+
+    def enc(texts):
+        return np.stack([emb[t] for t in texts])
+
+    kw = dict(mrr_at=(10,), ndcg_at=(10,), accuracy_at=(1, 3),
+              precision_recall_at=(1, 3), map_at=(10,), main_metric="map@10")
+    whole = InformationRetrievalEvaluator(queries, corpus, relevant,
+                                          corpus_chunk_size=10_000, **kw)
+    chunked = InformationRetrievalEvaluator(queries, corpus, relevant,
+                                            corpus_chunk_size=7, **kw)
+    a, b = whole.compute(enc), chunked.compute(enc)
+    assert a == b
+    assert a["accuracy@1"] == 1.0
+
+
+def test_ir_evaluator_rejects_underivable_main_metric():
+    from sgpt_tpu.evaluation.ir import InformationRetrievalEvaluator
+
+    with pytest.raises(ValueError, match="main_metric"):
+        InformationRetrievalEvaluator({"q": "x"}, {"d": "y"}, {"q": {"d"}},
+                                      map_at=(10,))  # default main map@100
+
+
+def test_ce_raises_on_instruction_plus_continuation_overflow():
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    cfg = tiny("neo")
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    ce = CrossEncoderRanker(init_params(cfg, jax.random.key(0)), cfg, tok,
+                            max_length=16)
+    long_query = " ".join(f"w{i}" for i in range(14))
+    with pytest.raises(ValueError, match="exceed max_length"):
+        ce.predict([(long_query, "some document body")])
+
+    with pytest.raises(ValueError, match="fewshots require"):
+        CrossEncoderRanker(init_params(cfg, jax.random.key(0)), cfg, tok,
+                           use_prompt=False, fewshots=("d", "q"))
