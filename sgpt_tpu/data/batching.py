@@ -9,8 +9,11 @@ negatives for the in-batch-negatives MNRL loss. The NLI training entry uses it
 from __future__ import annotations
 
 import dataclasses
+import logging
 import random
 from typing import Iterator, List, Optional, Sequence, Tuple
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -51,4 +54,13 @@ class NoDuplicatesBatcher:
                     continue
                 texts_in_batch.update(lowered)
                 batch.append(ex)
+            if len(batch) < self.batch_size:
+                # the reference's NoDuplicatesDataLoader keeps scanning until
+                # the batch fills (looping forever on degenerate data); we
+                # bound the scan but surface the underfill — a small batch
+                # quietly weakens the in-batch-negatives loss
+                logger.warning(
+                    "NoDuplicatesBatcher: only %d/%d unique-text examples "
+                    "found in a full scan — duplicate-heavy data weakens "
+                    "in-batch negatives", len(batch), self.batch_size)
             yield batch

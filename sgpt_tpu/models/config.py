@@ -55,7 +55,7 @@ class DecoderConfig:
     # "highest" keeps true fp32. Serving casts to bf16 where this is moot.
     matmul_precision: str = "highest"
     # Use the Pallas flash-attention kernel (ops/pallas/flash_attention.py) when
-    # sequence length permits (T % 128 == 0). Forward-only: serving/scoring.
+    # sequence length permits (T % 128 == 0). Differentiable (custom VJP).
     use_flash: bool = False
     # Use the fused short-T attention kernel (ops/pallas/short_attention.py)
     # when T <= 512: keeps the (T, T) scores in VMEM — measured ~1.8x faster

@@ -179,15 +179,12 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
 
     B, T, _ = x.shape
     H, Dh = cfg.num_heads, cfg.head_size
-    q = _project(x, p["wq"], p.get("bq"))
-    k = _project(x, p["wk"], p.get("bk"))
-    v = _project(x, p["wv"], p.get("bv"))
-    if rope is not None:
-        sin, cos = rope
-        q = apply_rotary(q.reshape(B, T, H, Dh), sin, cos,
-                         cfg.rotary_dim).reshape(B, T, H * Dh)
-        k = apply_rotary(k.reshape(B, T, H, Dh), sin, cos,
-                         cfg.rotary_dim).reshape(B, T, H * Dh)
+    # same projection+rope as the XLA path (_qkv); the kernel wants the
+    # flat (B, T, H*Dh) layout, a free reshape of _qkv's head-split view
+    q, k, v = _qkv(x, p, cfg, rope)
+    q = q.reshape(B, T, H * Dh)
+    k = k.reshape(B, T, H * Dh)
+    v = v.reshape(B, T, H * Dh)
     scale = 1.0 / math.sqrt(Dh) if cfg.scale_attn else 1.0
     use_alibi = slopes is not None
     sl = slopes if use_alibi else jnp.zeros((H,), jnp.float32)

@@ -11,8 +11,9 @@ fp32 running max/sum/accumulator in VMEM scratch (the standard flash recipe,
 mapped to the TPU grid: (batch, heads, q-tiles) parallel × kv-tiles arbitrary).
 Out-of-causal-range KV tiles are skipped with @pl.when.
 
-Forward-only: serving/scoring path. Training uses the XLA attention (decoder.py),
-whose backward XLA derives automatically.
+Differentiable: `flash_attention_trainable` wraps the kernel in a custom VJP
+(blockwise-scan backward) and decoder.py routes training through it whenever
+cfg.use_flash and T % 128 == 0.
 """
 from __future__ import annotations
 

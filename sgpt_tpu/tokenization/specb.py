@@ -69,6 +69,10 @@ class SpecbCodec:
     max_seq_len: int = 2048
     specb: bool = False
     buckets: Sequence[int] = DEFAULT_BUCKETS
+    # The reference applies newline→space cleanup only in its BEIR embed path
+    # (beir_dense_retriever.py:170); training paths tokenize raw text —
+    # trainers construct the codec with clean_newlines=False for parity
+    clean_newlines: bool = True
 
     def __post_init__(self):
         if self.specb:
@@ -79,8 +83,20 @@ class SpecbCodec:
 
     @property
     def budget(self) -> int:
-        # Reserve 2 tokens for the brackets (beir_dense_retriever.py:134-136).
-        return self.max_seq_len - 2 if self.specb else self.max_seq_len
+        """Worst-case body budget (the reference reserves a fixed 2,
+        beir_dense_retriever.py:134-136 — correct only for single-token
+        brackets; bracket_ids() may return multi-token brackets)."""
+        if not self.specb:
+            return self.max_seq_len
+        worst = max(len(self.bos_q) + len(self.eos_q),
+                    len(self.bos_d) + len(self.eos_d))
+        return self.max_seq_len - worst
+
+    def _budget_for(self, is_query: bool) -> int:
+        if not self.specb:
+            return self.max_seq_len
+        bos, eos = (self.bos_q, self.eos_q) if is_query else                    (self.bos_d, self.eos_d)
+        return self.max_seq_len - len(bos) - len(eos)
 
     def encode_rows(self, texts: Sequence[str], is_query: bool = False
                     ) -> Tuple[List[List[int]], int, int]:
@@ -88,13 +104,15 @@ class SpecbCodec:
 
         Split out so callers can batch pretokenized rows by token budget
         (encoder.py) without tokenizing twice."""
-        budget = self.budget
+        budget = self._budget_for(is_query)
         rows: List[List[int]] = []
         n_trunc = toks_trunc = 0
         for txt in texts:
             # OpenAI-docs cleanup the reference applies in its embed path
             # (beir_dense_retriever.py:170): newlines become spaces
-            ids = self.tokenizer.encode(txt.replace("\n", " "))
+            if self.clean_newlines:
+                txt = txt.replace("\n", " ")
+            ids = self.tokenizer.encode(txt)
             if len(ids) > budget:
                 n_trunc += 1
                 toks_trunc += len(ids) - budget
@@ -124,7 +142,17 @@ class SpecbCodec:
         input_ids = np.full((len(rows), T), pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), T), dtype=np.int32)
         for i, r in enumerate(rows):
-            r = r[:T]
+            if len(r) > T:
+                # preserve the SPECB closing bracket under truncation: the
+                # trailing ']' / '}' is the pooled EOS marker the recipe
+                # depends on — cutting r[:T] blindly dropped it
+                tail = []
+                if self.specb:
+                    for eos in (self.eos_q, self.eos_d):
+                        if r[-len(eos):] == eos:
+                            tail = eos
+                            break
+                r = r[: T - len(tail)] + tail
             input_ids[i, : len(r)] = r
             mask[i, : len(r)] = 1
         return BatchEncoding(input_ids, mask, np.minimum(lengths, T),

@@ -89,8 +89,10 @@ class ContrastiveTrainer:
         self.cfg = cfg
         self.tc = train_config
         self.tokenizer = tokenizer
+        # clean_newlines=False: the reference's ST training path tokenizes
+        # raw text; the newline->space cleanup is a BEIR-embed-path behavior
         self.codec = SpecbCodec(tokenizer, max_seq_len=train_config.max_seq_len,
-                                specb=train_config.specb)
+                                specb=train_config.specb, clean_newlines=False)
         self.mesh = mesh
         self.params = params
         if mesh is not None:

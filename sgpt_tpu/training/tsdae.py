@@ -83,7 +83,8 @@ class TSDAETrainer:
 
         self.cfg = cfg
         self.pooling = pooling
-        self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=False)
+        self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=False,
+                                clean_newlines=False)  # raw text, like ST
         self.max_seq_len = max_seq_len
         self.tree = {"model": params,
                      "tsdae": init_tsdae_params(cfg, jax.random.key(seed))}

@@ -286,3 +286,48 @@ def test_ce_raises_on_instruction_plus_continuation_overflow():
     with pytest.raises(ValueError, match="fewshots require"):
         CrossEncoderRanker(init_params(cfg, jax.random.key(0)), cfg, tok,
                            use_prompt=False, fewshots=("d", "q"))
+
+
+class _MultiTokenBracketTok(SimpleTokenizer):
+    """Brackets encode to TWO ids each (HFTokenizer allows multi-token
+    brackets; the fixed 2-token budget overflowed max_seq_len with them)."""
+
+    def bracket_ids(self, bracket):
+        return [self.BRACKETS[bracket], self.BRACKETS[bracket]]
+
+
+def test_specb_budget_covers_multitoken_brackets():
+    from sgpt_tpu.tokenization.specb import SpecbCodec
+
+    codec = SpecbCodec(_MultiTokenBracketTok(vocab_size=128),
+                       max_seq_len=12, specb=True)
+    long_text = " ".join(f"w{i}" for i in range(40))
+    for is_query in (False, True):
+        rows, _, _ = codec.encode_rows([long_text], is_query=is_query)
+        assert len(rows[0]) <= 12
+
+
+def test_specb_pad_rows_truncation_keeps_closing_bracket():
+    from sgpt_tpu.tokenization.specb import SpecbCodec
+
+    tok = SimpleTokenizer(vocab_size=128)
+    codec = SpecbCodec(tok, max_seq_len=64, specb=True)
+    rows, _, _ = codec.encode_rows([" ".join(f"w{i}" for i in range(30))],
+                                   is_query=False)
+    enc = codec.pad_rows(rows, pad_to=16)
+    ids = enc.input_ids[0]
+    L = int(enc.attention_mask[0].sum())
+    assert L == 16
+    assert ids[L - 1] == tok.bracket_ids("}")[0]   # '}' survives truncation
+    assert ids[0] == tok.bracket_ids("{")[0]
+
+
+def test_specb_clean_newlines_flag():
+    from sgpt_tpu.tokenization.specb import SpecbCodec
+
+    tok = SimpleTokenizer(vocab_size=128)
+    clean = SpecbCodec(tok, max_seq_len=32)                      # default True
+    raw = SpecbCodec(tok, max_seq_len=32, clean_newlines=False)
+    text = "alpha\nbeta"
+    assert clean.encode_rows([text])[0][0] == tok.encode("alpha beta")
+    assert raw.encode_rows([text])[0][0] == tok.encode(text)
