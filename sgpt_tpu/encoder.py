@@ -180,6 +180,11 @@ class EmbeddingEngine:
             else:
                 self.heads["post"].append(entry)
                 self.post_acts.append(h.get("activation", "identity"))
+        if self.heads["pre"] and method in STACK_POOLERS:
+            raise ValueError(
+                f"pre_pool dense heads are not applied by stack poolers "
+                f"({method!r} pools the all-layer stack directly); use a "
+                "post_pool head or a single-layer pooling method")
         # output width follows application order (pre heads → pool → post
         # heads), NOT the list order of dense_heads: the last POST head wins
         # when both kinds exist
@@ -338,6 +343,11 @@ class EmbeddingEngine:
             # in a dense head or learnt position weights must not share
             # cached embeddings (review finding)
             aux = (self.params, self.heads, self.learned_weights)
+            # structure matters too: same weight arrays with a different
+            # activation or pre/post location are a different model
+            h.update(repr((tuple(self.pre_acts), tuple(self.post_acts),
+                           len(self.heads["pre"]),
+                           len(self.heads["post"]))).encode())
             for leaf in jax.tree.leaves(aux):
                 h.update(str(leaf.shape).encode())
                 # slice on device, fetch only 16 elements per leaf

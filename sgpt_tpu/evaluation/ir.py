@@ -70,13 +70,21 @@ class InformationRetrievalEvaluator:
                                  1e-12, None)
             scores = qn @ dn.T                      # (Q, C)
             kk = min(max_k, scores.shape[1])
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # candidate selection and pruning both use the trec tie-break
+            # (score desc, doc id desc) so results — and therefore every
+            # metric — are independent of corpus_chunk_size even when scores
+            # tie at the top-k boundary (argpartition picked ties arbitrarily)
+            order_desc = np.argsort(np.asarray(chunk_ids))[::-1]
+            id_rank = np.empty(len(chunk_ids), np.int64)
+            id_rank[order_desc] = np.arange(len(chunk_ids))
             for i, qid in enumerate(self.qids):
                 r = results[qid]
-                for j in part[i]:
+                sel = np.lexsort((id_rank, -scores[i]))[:kk]
+                for j in sel:
                     r[chunk_ids[j]] = float(scores[i, j])
-                if len(r) > max_k:   # prune the running set to top max_k
-                    keep = sorted(r.items(), key=lambda x: -x[1])[:max_k]
+                if len(r) > max_k:
+                    by_id = sorted(r.items(), key=lambda x: x[0], reverse=True)
+                    keep = sorted(by_id, key=lambda x: -x[1])[:max_k]
                     results[qid] = dict(keep)
         qrels = {q: {d: 1 for d in self.relevant[q]} for q in self.qids}
 

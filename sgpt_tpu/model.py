@@ -105,9 +105,12 @@ class SGPTModel:
             manifest = json.load(f)
         cfg_dict = dict(manifest["cfg"])
         if "dtype" in cfg_dict:
+            # canonical jnp types for the common three; jnp.dtype(name) keeps
+            # every other dtype loadable instead of KeyError-ing
             cfg_dict["dtype"] = {"float32": jnp.float32,
                                  "bfloat16": jnp.bfloat16,
-                                 "float16": jnp.float16}[cfg_dict["dtype"]]
+                                 "float16": jnp.float16}.get(
+                cfg_dict["dtype"]) or jnp.dtype(cfg_dict["dtype"])
         cfg = DecoderConfig(**cfg_dict)
 
         tree = load_checkpoint(os.path.join(path, "weights"))

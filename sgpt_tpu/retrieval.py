@@ -44,7 +44,10 @@ class DenseRetriever:
         self.model = model
         self.score_function = score_function
         self.corpus_chunk_size = corpus_chunk_size
-        self.device_chunk = max(128, device_chunk)
+        # round to a block multiple: blockmax_topk falls back to ONE
+        # whole-chunk slab when the padded chunk doesn't tile by slab_size,
+        # which would silently defeat the HBM bound this knob promises
+        self.device_chunk = _round_up(max(128, device_chunk), 128)
 
     def search(self, corpus: Dict[str, Dict[str, str]], queries: Dict[str, str],
                top_k: int, **kw) -> Dict[str, Dict[str, float]]:
@@ -73,7 +76,8 @@ class DenseRetriever:
                 c_emb = np.asarray(normalize(jnp.asarray(c_emb)))
 
             n = c_emb.shape[0]
-            n_pad = _round_up(n, 128)
+            # pad to a device_chunk multiple so the slab scan actually tiles
+            n_pad = _round_up(n, min(self.device_chunk, _round_up(n, 128)))
             pad = np.zeros((n_pad, c_emb.shape[1]), c_emb.dtype)
             pad[:n] = c_emb
             # block-max candidate filtering: exact top-k at matmul speed

@@ -331,3 +331,68 @@ def test_specb_clean_newlines_flag():
     text = "alpha\nbeta"
     assert clean.encode_rows([text])[0][0] == tok.encode("alpha beta")
     assert raw.encode_rows([text])[0][0] == tok.encode(text)
+
+
+def test_cache_key_distinguishes_activation_and_location(tmp_path, small):
+    """Same head weights, different activation or location = different model
+    = different cache key (structure, not just array leaves)."""
+    cfg, params, tok = small
+    D = cfg.hidden_size
+    w = np.random.default_rng(1).normal(size=(D, D)).astype(np.float32)
+    engines = [
+        EmbeddingEngine(params, cfg, tok, cache_dir=str(tmp_path),
+                        batch_size=2, max_seq_len=16,
+                        dense_heads=[{"w": w, "location": "post_pool",
+                                      "activation": act}])
+        for act in ("identity", "gelu")
+    ]
+    engines.append(EmbeddingEngine(
+        params, cfg, tok, cache_dir=str(tmp_path), batch_size=2,
+        max_seq_len=16, dense_heads=[{"w": w, "location": "pre_pool"}]))
+    keys = {e._cache_key(["x"], False) for e in engines}
+    assert len(keys) == 3
+
+
+def test_engine_rejects_pre_heads_with_stack_pooler(small):
+    cfg, params, tok = small
+    with pytest.raises(ValueError, match="pre_pool"):
+        EmbeddingEngine(params, cfg, tok, method="meanmean",
+                        dense_heads=[{"w": np.ones((cfg.hidden_size, 4),
+                                                   np.float32),
+                                      "location": "pre_pool"}])
+
+
+def test_sgptmodel_load_unknown_dtype_roundtrips(tmp_path):
+    from sgpt_tpu.model import SGPTModel
+
+    cfg = tiny("neo").replace(dtype=jnp.float16)   # outside the common map
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    m = SGPTModel(init_params(cfg, jax.random.key(0)), cfg, tok)
+    m.save(str(tmp_path / "m"))
+    m2 = SGPTModel.load(str(tmp_path / "m"), tokenizer=tok)
+    assert jnp.dtype(m2.cfg.dtype) == jnp.dtype(jnp.float16)
+
+
+def test_ir_chunked_consistent_on_tied_scores():
+    """Duplicate docs (tied scores) at the top-k boundary must not make
+    metrics depend on corpus_chunk_size."""
+    from sgpt_tpu.evaluation.ir import InformationRetrievalEvaluator
+
+    emb = {"q": np.ones(4, np.float32)}
+    for i in range(30):
+        emb[f"t{i}"] = np.ones(4, np.float32)        # ALL docs tie
+    queries = {"q0": "q"}
+    corpus = {f"d{i:02d}": f"t{i}" for i in range(30)}
+    relevant = {"q0": {"d29"}}                       # largest id is relevant
+
+    def enc(texts):
+        return np.stack([emb[t] for t in texts])
+
+    kw = dict(mrr_at=(5,), ndcg_at=(5,), accuracy_at=(1,),
+              precision_recall_at=(1,), map_at=(5,), main_metric="map@5")
+    a = InformationRetrievalEvaluator(queries, corpus, relevant,
+                                      corpus_chunk_size=10_000, **kw).compute(enc)
+    b = InformationRetrievalEvaluator(queries, corpus, relevant,
+                                      corpus_chunk_size=7, **kw).compute(enc)
+    assert a == b
+    assert a["accuracy@1"] == 1.0    # d29 wins the descending-id tie-break
