@@ -396,3 +396,34 @@ def test_ir_chunked_consistent_on_tied_scores():
                                       corpus_chunk_size=7, **kw).compute(enc)
     assert a == b
     assert a["accuracy@1"] == 1.0    # d29 wins the descending-id tie-break
+
+
+def test_dense_retriever_chunking_invariant():
+    """corpus_chunk_size / device_chunk must not change search results
+    (pure-numpy mock model, no device work)."""
+    from sgpt_tpu.retrieval import DenseRetriever
+
+    rng = np.random.default_rng(21)
+    vecs = {f"d{i}": rng.normal(size=8).astype(np.float32) for i in range(57)}
+
+    class Mock:
+        def encode_queries(self, texts):
+            return np.stack([vecs[t] for t in texts])
+
+        def encode_corpus(self, docs):
+            return np.stack([vecs[d["text"]] for d in docs])
+
+    corpus = {d: {"title": "", "text": d} for d in vecs}
+    queries = {"q0": "d7", "q1": "d40"}
+    base = None
+    for cc, dc in ((10_000, 8192), (13, 8192), (13, 130), (57, 256)):
+        res = DenseRetriever(Mock(), corpus_chunk_size=cc,
+                             device_chunk=dc).search(corpus, queries, top_k=5)
+        got = {q: sorted(r.items(), key=lambda x: (-x[1], x[0]))
+               for q, r in res.items()}
+        if base is None:
+            base = got
+        else:
+            for q in got:
+                assert [d for d, _ in got[q]] == [d for d, _ in base[q]], (cc, dc)
+    assert base["q0"][0][0] == "d7" and base["q1"][0][0] == "d40"
