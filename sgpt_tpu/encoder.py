@@ -141,10 +141,15 @@ class EmbeddingEngine:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
         if fused_attention is None:
-            # auto only single-device: the Pallas kernel has no SPMD
-            # partitioning rule, so dp-mesh encode stays on the XLA path
-            # (force fused_attention=True to override knowingly)
-            fused_attention = (sp_mesh is None and mesh is None
+            # auto: on for single-device AND pure-dp meshes (the embed step
+            # runs under shard_map there, so the Pallas kernel needs no SPMD
+            # partitioning rule — each shard runs it on its batch slice).
+            # TP-sharded params still need jit's automatic partitioning for
+            # the projection collectives, so tp>1 keeps the XLA path.
+            pure_dp = (mesh is not None
+                       and all(n == 1 or ax == "dp"
+                               for ax, n in mesh.shape.items()))
+            fused_attention = (sp_mesh is None and (mesh is None or pure_dp)
                                and jax.default_backend() == "tpu")
         if fused_attention != cfg.fused_attention:
             cfg = cfg.replace(fused_attention=fused_attention)
@@ -204,14 +209,43 @@ class EmbeddingEngine:
         # TP-sharded via parallel.shard_params before construction.
         self.mesh = mesh
         self.sp_mesh = sp_mesh
+        self._mesh_step = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._data_sharding = NamedSharding(mesh, P("dp", None))
             dp = mesh.shape["dp"]
             if self.batch_size % dp:
                 self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
+            if self.cfg.fused_attention and all(
+                    n == 1 or ax == "dp" for ax, n in mesh.shape.items()):
+                # pure-dp: run the embed step under shard_map so the fused
+                # Pallas kernel works multi-device (it has no SPMD
+                # partitioning rule under plain jit; per-shard it's just a
+                # smaller batch). Params/heads replicate; batch shards.
+                inner = partial(
+                    _embed_step.__wrapped__, cfg=self.cfg, method=self.method,
+                    layeridx=self.layeridx, do_normalize=self.normalize,
+                    has_learned_weights=self.has_learned_weights,
+                    pre_acts=tuple(self.pre_acts),
+                    post_acts=tuple(self.post_acts), sp_mesh=None)
+                self._mesh_step = jax.jit(jax.shard_map(
+                    lambda p, h, ids, m, lw: inner(p, h, ids, m, lw),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("dp", None), P("dp", None), P()),
+                    out_specs=P("dp", None), check_vma=False))
 
     # ------------------------------------------------------------------
+    def _embed(self, ids_j, mask_j):
+        if self._mesh_step is not None:
+            return self._mesh_step(self.params, self.heads, ids_j, mask_j,
+                                   self.learned_weights)
+        return _embed_step(self.params, self.heads, ids_j, mask_j,
+                           self.learned_weights, self.cfg,
+                           self.method, self.layeridx, self.normalize,
+                           self.has_learned_weights,
+                           tuple(self.pre_acts), tuple(self.post_acts),
+                           sp_mesh=self.sp_mesh)
+
     def _rows_for_bucket(self, T: int) -> int:
         """Rows per dispatch for length bucket T (token-budget batching).
 
@@ -244,12 +278,7 @@ class EmbeddingEngine:
                 # single-device layout and recompiles on first real traffic
                 ids_j = jax.device_put(ids_j, self._data_sharding)
                 mask_j = jax.device_put(mask_j, self._data_sharding)
-            _embed_step(self.params, self.heads, ids_j, mask_j,
-                        self.learned_weights, self.cfg,
-                        self.method, self.layeridx, self.normalize,
-                        self.has_learned_weights,
-                        tuple(self.pre_acts), tuple(self.post_acts),
-                        sp_mesh=self.sp_mesh)
+            self._embed(ids_j, mask_j)
         return self
 
     def encode(self, texts: Sequence[str], *, is_query: bool = False,
@@ -304,12 +333,7 @@ class EmbeddingEngine:
             if self.mesh is not None:
                 ids_j = jax.device_put(ids_j, self._data_sharding)
                 mask_j = jax.device_put(mask_j, self._data_sharding)
-            emb = _embed_step(self.params, self.heads, ids_j, mask_j,
-                              self.learned_weights, self.cfg,
-                              self.method, self.layeridx, self.normalize,
-                              self.has_learned_weights,
-                              tuple(self.pre_acts), tuple(self.post_acts),
-                              sp_mesh=self.sp_mesh)
+            emb = self._embed(ids_j, mask_j)
             out[sel] = np.asarray(emb[: len(sel)], np.float32)
         self._cache_store(texts, is_query, out)
         return out

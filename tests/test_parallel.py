@@ -96,3 +96,29 @@ def test_quantized_sharded_forward_matches_single_device():
     s_scale = sharded["layers"]["attn"]["wq"]["s"]
     assert all(sh.data.shape[-1] == s_scale.shape[-1] // 4
                for sh in s_scale.addressable_shards)
+
+
+def test_dp_mesh_fused_attention_encode_matches_single():
+    """Pure-dp mesh + fused_attention: the embed step runs under shard_map
+    (the Pallas kernel has no SPMD rule under plain jit) and must equal the
+    single-device fused encode."""
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.parallel import make_mesh
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo", num_layers=2, hidden_size=64, num_heads=4,
+               vocab_size=256, max_position_embeddings=256)
+    tok = SimpleTokenizer(vocab_size=256)
+    params = init_params(cfg, jax.random.key(0))
+    texts = [f"text number {i} body" for i in range(19)]
+
+    single = EmbeddingEngine(params, cfg, tok, batch_size=8, max_seq_len=176,
+                             fused_attention=True,
+                             normalize_embeddings=True).encode(texts)
+    mesh = make_mesh(dp=8)
+    eng = EmbeddingEngine(params, cfg, tok, batch_size=8, max_seq_len=176,
+                          mesh=mesh, fused_attention=True,
+                          normalize_embeddings=True)
+    assert eng._mesh_step is not None          # shard_map path active
+    sharded = eng.encode(texts)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
