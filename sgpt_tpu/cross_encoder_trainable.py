@@ -60,7 +60,10 @@ class CrossEncoderTrainable:
         for s1, s2 in pairs:
             ids = (self.tokenizer.encode(s1) + [self.tokenizer.eos_id]
                    + self.tokenizer.encode(s2))
-            rows.append(ids[-self.max_length:])
+            # truncate from the RIGHT like the ST CrossEncoder: keep s1 and
+            # the separator (left-truncation dropped the query entirely for
+            # near-max-length passages, making scores query-independent)
+            rows.append(ids[: self.max_length])
         maxlen = max(len(r) for r in rows)
         T = pad_to or max(pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length),
                           maxlen)
@@ -75,6 +78,9 @@ class CrossEncoderTrainable:
     def predict(self, pairs: Sequence[Tuple[str, str]],
                 apply_softmax: bool = False, **kw) -> np.ndarray:
         """num_labels==1 → sigmoid scores (ST convention); else logits/probs."""
+        if len(pairs) == 0:
+            shape = (0,) if self.num_labels == 1 else (0, self.num_labels)
+            return np.zeros(shape, np.float64)
         out = []
         B = self.batch_size
         for s in range(0, len(pairs), B):
@@ -99,7 +105,9 @@ class CrossEncoderTrainable:
             warmup_ratio: float = 0.1, evaluator: Optional[Callable] = None,
             shuffle_seed: int = 0) -> List[dict]:
         """train_samples: InputExample-likes with .texts=(s1, s2) and .label."""
-        tc_steps = max(1, len(train_samples) // self.batch_size) * epochs
+        # ceil: the loop runs ceil(len/B) steps per epoch — a floor here
+        # clamped warmuplinear to lr=0 for every trailing partial-batch step
+        tc_steps = max(1, -(-len(train_samples) // self.batch_size)) * epochs
         schedule = make_schedule("warmuplinear", lr,
                                  int(warmup_ratio * tc_steps), tc_steps)
         opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(schedule))

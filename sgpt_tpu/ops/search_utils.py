@@ -33,15 +33,21 @@ def semantic_search(query_embeddings, corpus_embeddings, *, top_k: int = 10,
     if score_function == "cos_sim":
         q = np.asarray(normalize(jnp.asarray(q)))
         c = np.asarray(normalize(jnp.asarray(c)))
+    elif score_function != "dot":
+        # a typo'd name silently meant "dot" before — rankings quietly
+        # diverged from cosine for non-unit embeddings
+        raise ValueError(f"unknown score_function {score_function!r}; "
+                         "use 'cos_sim' or 'dot'")
     n = c.shape[0]
     n_pad = ((n + 127) // 128) * 128
     c_pad = np.zeros((n_pad, c.shape[1]), c.dtype)
     c_pad[:n] = c
+    c_dev = jnp.asarray(c_pad)   # ONE host->device transfer, not per chunk
     out: List[List[Dict]] = []
     k = min(top_k, n)
     for s in range(0, len(q), query_chunk_size):
         vals, idx = blockmax_topk(jnp.asarray(q[s : s + query_chunk_size]),
-                                  jnp.asarray(c_pad), n, k=k)
+                                  c_dev, n, k=k)
         for vrow, irow in zip(np.asarray(vals), np.asarray(idx)):
             out.append([{"corpus_id": int(i), "score": float(v)}
                         for v, i in zip(vrow, irow)])

@@ -55,6 +55,37 @@ def _unflatten_paths(flat):
     return rebuild(root)
 
 
+# np.savez cannot represent ml_dtypes (bfloat16 round-trips as void '|V2',
+# making the checkpoint UNLOADABLE — reproduced). Store such leaves as
+# float32 with a '.dtype' sidecar key and cast back on load (bf16->fp32 is
+# exact, fp32->bf16 restores the original bits).
+_NPZ_NATIVE = set("?bhilqpBHILQPefdgFDG")
+
+
+def _to_npz_safe(flat):
+    out = {}
+    for k, v in flat.items():
+        if v.dtype.char not in _NPZ_NATIVE:
+            out[k] = v.astype(np.float32)
+            out[k + ".dtype"] = np.array(str(v.dtype))
+        else:
+            out[k] = v
+    return out
+
+
+def _from_npz_safe(data):
+    import ml_dtypes  # jax dependency; provides bfloat16 et al.
+    flat = {}
+    for k in data:
+        if k.endswith(".dtype"):
+            continue
+        v = data[k]
+        if k + ".dtype" in data:
+            v = v.astype(np.dtype(str(data[k + ".dtype"])))
+        flat[k] = v
+    return flat
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     step: Optional[int] = None, metadata: Optional[dict] = None):
     """Save params (+optional opt state) under `path`. Orbax if usable, else npz."""
@@ -70,7 +101,12 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
         backend = "orbax"
     except Exception:  # orbax unavailable/failed → path-keyed npz fallback
         np.savez(os.path.join(path, "params.npz"),
-                 **_flatten_paths(_as_numpy_tree(params)))
+                 **_to_npz_safe(_flatten_paths(_as_numpy_tree(params))))
+        if opt_state is not None:
+            # the docstring promises opt state persists; silently dropping
+            # it in the fallback broke that contract (review finding)
+            np.savez(os.path.join(path, "opt_state.npz"),
+                     **_to_npz_safe(_flatten_paths(_as_numpy_tree(opt_state))))
         backend = "npz"
     meta = {"step": step, "backend": backend, **(metadata or {})}
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -87,7 +123,7 @@ def load_checkpoint(path: str, like_params: Any = None) -> Any:
             return ckptr.restore(os.path.join(os.path.abspath(path), "params"))
     data = np.load(os.path.join(path, "params.npz"))
     del like_params  # path-keyed npz needs no structural template
-    return _unflatten_paths({k: data[k] for k in data.files})
+    return _unflatten_paths(_from_npz_safe({k: data[k] for k in data.files}))
 
 
 def prune_checkpoints(root: str, keep: int):

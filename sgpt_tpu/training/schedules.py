@@ -40,10 +40,12 @@ def make_schedule(name: str, lr: float, warmup_steps: int, total_steps: int):
 
 
 def warmup_cosine_hard_restarts(lr: float, warmup_steps: int, total_steps: int,
-                                cycles: int = 3):
+                                cycles: int = 1):
     """Linear warmup, then `cycles` cosine decays lr→0 each restarting at lr
     (transformers get_cosine_with_hard_restarts_schedule_with_warmup, which
-    ST's fit() dispatches for 'warmupcosinewithhardrestarts')."""
+    ST's fit() dispatches for 'warmupcosinewithhardrestarts' with the
+    transformers DEFAULT num_cycles=1 — the old cycles=3 default gave a
+    materially different LR trajectory than the parity target)."""
     warmup_steps = max(warmup_steps, 1)
     decay_total = max(total_steps - warmup_steps, cycles)
     seg = decay_total // cycles

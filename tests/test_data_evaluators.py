@@ -91,9 +91,16 @@ def test_schedules():
     assert abs(float(wc(50)) - 1.0) < 1e-6
     cos = make_schedule("warmupcosine", 1.0, 10, 100)
     assert abs(float(cos(10)) - 1.0) < 1e-6 and float(cos(99)) < 0.01
-    # hard restarts: lr returns to the peak at each cycle boundary
-    hr = make_schedule("warmupcosinewithhardrestarts", 1.0, 10, 100)
-    assert abs(float(hr(10)) - 1.0) < 1e-6      # warmup done
+    # default matches the ST/transformers default num_cycles=1: one cosine
+    # decay, no mid-training restart
+    hr1 = make_schedule("warmupcosinewithhardrestarts", 1.0, 10, 100)
+    assert abs(float(hr1(10)) - 1.0) < 1e-6     # warmup done
+    assert float(hr1(55)) < 1.0                 # decaying, no restart
+    assert float(hr1(99)) < 0.05
+    # explicit cycles=3: lr returns to the peak at each cycle boundary
+    from sgpt_tpu.training.schedules import warmup_cosine_hard_restarts
+    hr = warmup_cosine_hard_restarts(1.0, 10, 100, cycles=3)
+    assert abs(float(hr(10)) - 1.0) < 1e-6
     assert float(hr(39)) < 0.05                 # end of cycle 1 (30 steps)
     assert abs(float(hr(40)) - 1.0) < 1e-6      # restart at peak
     assert float(hr(69)) < 0.05

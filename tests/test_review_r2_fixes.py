@@ -427,3 +427,47 @@ def test_dense_retriever_chunking_invariant():
             for q in got:
                 assert [d for d, _ in got[q]] == [d for d, _ in base[q]], (cc, dc)
     assert base["q0"][0][0] == "d7" and base["q1"][0][0] == "d40"
+
+
+def test_npz_fallback_roundtrips_bfloat16_and_opt_state(tmp_path, monkeypatch):
+    """np.savez stores bf16 as void '|V2' (unloadable). The fallback now
+    casts to fp32 with a dtype sidecar and restores exactly; opt_state is
+    persisted too instead of silently dropped."""
+    import builtins
+    import ml_dtypes
+    from sgpt_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    real = builtins.__import__
+
+    def hide_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("hidden for test")
+        return real(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", hide_orbax)
+    tree = {"w": np.arange(6, dtype=ml_dtypes.bfloat16).reshape(2, 3),
+            "b": np.ones(3, np.float32)}
+    save_checkpoint(str(tmp_path / "ck"), tree,
+                    opt_state={"m": np.zeros(2, np.float32)}, step=1)
+    monkeypatch.setattr(builtins, "__import__", real)
+    got = load_checkpoint(str(tmp_path / "ck"))
+    assert got["w"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(np.asarray(got["w"], np.float32),
+                                  np.asarray(tree["w"], np.float32))
+    assert (tmp_path / "ck" / "opt_state.npz").exists()
+
+
+def test_trainable_ce_right_truncation_and_empty_predict():
+    from sgpt_tpu.cross_encoder_trainable import CrossEncoderTrainable
+
+    cfg = tiny("neo")
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    ce = CrossEncoderTrainable(init_params(cfg, jax.random.key(0)), cfg, tok,
+                               max_length=8, batch_size=2)
+    s1 = "query words here"
+    s2 = " ".join(f"w{i}" for i in range(30))
+    ids, mask = ce._tokenize_pairs([(s1, s2)])
+    head = tok.encode(s1) + [tok.eos_id]
+    # ST parity: right truncation keeps s1 and the separator at the front
+    assert list(np.asarray(ids)[0][: len(head)]) == head
+    assert ce.predict([]).shape == (0,)
