@@ -76,9 +76,19 @@ def main(args=None):
     split = "dev" if args.dataset == "msmarco" else "test"
     corpus, queries, qrels = load_beir_dataset(data_path, split)
 
-    params, cfg, tokenizer = build_model(args.modelname,
-                                         random_init=args.randominit,
-                                         dtype_str=args.dtype)
+    try:
+        params, cfg, tokenizer = build_model(args.modelname,
+                                             random_init=args.randominit,
+                                             dtype_str=args.dtype)
+    except Exception as e:
+        if getattr(args, "expect_ndcg", None) is not None:
+            # Distinct exit code so the parity harness can tell "weights or
+            # tokenizer unavailable" (rerun when they land) from "score
+            # mismatch" (a real failure) - documented in PARITY.md.
+            logger.error("score-parity UNAVAILABLE: cannot build %s (%r)",
+                         args.modelname, e)
+            raise SystemExit(3) from e
+        raise
     mesh = build_mesh(args)
     if args.quantize:
         from ..ops.quant import quantize_decoder_params

@@ -82,7 +82,11 @@ def build_model(model_name: str, *, random_init: bool = False,
         cfg = cfg.replace(dtype=dtype)
         if dtype != jnp.float32:
             cfg = cfg.replace(matmul_precision="default")
-    tokenizer = get_tokenizer(None if random_init else model_name)
+    # Real weights demand the real tokenizer: fallback=False turns the old
+    # silent hash-tokenizer fallback (which would corrupt a score-parity run
+    # with plausible-but-wrong nDCG) into a hard TokenizerLoadError.
+    tokenizer = (get_tokenizer(None) if random_init
+                 else get_tokenizer(model_name, fallback=False))
     if jax.default_backend() == "tpu":
         # fused short-T attention kernel everywhere on TPU (CE scoring and
         # training included): ~1.8x the XLA attention at T <= 512; the

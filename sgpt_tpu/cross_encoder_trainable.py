@@ -57,13 +57,22 @@ class CrossEncoderTrainable:
     # ------------------------------------------------------------------
     def _tokenize_pairs(self, pairs: Sequence[Tuple[str, str]], pad_to=None):
         rows = []
+        budget = self.max_length - 1  # one slot for the EOS separator
         for s1, s2 in pairs:
-            ids = (self.tokenizer.encode(s1) + [self.tokenizer.eos_id]
-                   + self.tokenizer.encode(s2))
-            # truncate from the RIGHT like the ST CrossEncoder: keep s1 and
-            # the separator (left-truncation dropped the query entirely for
-            # near-max-length passages, making scores query-independent)
-            rows.append(ids[: self.max_length])
+            ids1 = self.tokenizer.encode(s1)
+            ids2 = self.tokenizer.encode(s2)
+            # longest_first truncation like the ST CrossEncoder's tokenizer
+            # call: iteratively trim the longer member, so BOTH sides survive
+            # (right-truncation dropped s2 entirely when s1 filled the window;
+            # left-truncation dropped s1 — either makes scores one-sided)
+            a, b = len(ids1), len(ids2)
+            if a + b > budget:
+                # closed form of the trim-the-longer pop loop (ties pop s2):
+                # the shorter side survives whole; if both exceed half the
+                # budget they meet at ceil/floor of budget/2
+                a = min(a, max((budget + 1) // 2, budget - b))
+                b = budget - a
+            rows.append(ids1[:a] + [self.tokenizer.eos_id] + ids2[:b])
         maxlen = max(len(r) for r in rows)
         T = pad_to or max(pick_bucket(maxlen, DEFAULT_BUCKETS, self.max_length),
                           maxlen)

@@ -143,7 +143,8 @@ class CrossEncoderRanker:
             # keys are length-descending: the first row's bucket fits all
             T = pick_bucket(packed[i][1], DEFAULT_BUCKETS, self.max_length)
             T = max(T, packed[i][1])
-            B = row_bucket(max(1, budget // T))
+            B = row_bucket(max(1, budget // T),
+                           allow_overshoot=T < self.max_length)
             batch = keys[i : i + min(B, len(keys) - i)]
             rows = packed[i : i + len(batch)]
             i += len(batch)

@@ -253,7 +253,8 @@ class EmbeddingEngine:
         this reduces to exactly batch_size rows; shorter buckets take
         proportionally more rows. Pure function of T → one compile per
         bucket, like the fixed-rows scheme it replaces."""
-        B = row_bucket(max(1, (self.batch_size * self.codec.max_seq_len) // T))
+        B = row_bucket(max(1, (self.batch_size * self.codec.max_seq_len) // T),
+                       allow_overshoot=T < self.codec.max_seq_len)
         if self.mesh is not None:
             dp = self.mesh.shape["dp"]
             B = ((max(B, dp) + dp - 1) // dp) * dp
@@ -398,6 +399,18 @@ class EmbeddingEngine:
         if key and os.path.exists(key):
             logger.info("Loaded embeddings from cache %s", key)
             return np.load(key)
+        if key and os.path.isdir(self.cache_dir) and os.listdir(self.cache_dir):
+            # Existing entries under a different key: different weights/config,
+            # or entries written before a cache-key scheme change (the
+            # fingerprint now covers heads/learned weights). Say so once per
+            # engine rather than letting the re-encode read as a bug.
+            if not getattr(self, "_warned_cache_miss", False):
+                self._warned_cache_miss = True
+                logger.info(
+                    "Cache dir %s has %d entries but none match this engine's "
+                    "key (different weights/config, or a pre-upgrade key "
+                    "scheme) - re-encoding.", self.cache_dir,
+                    len(os.listdir(self.cache_dir)))
         return None
 
     def _cache_store(self, texts, is_query, emb):

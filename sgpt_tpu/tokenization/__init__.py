@@ -1,5 +1,7 @@
-from .base import Tokenizer, SimpleTokenizer, HFTokenizer, get_tokenizer
+from .base import (Tokenizer, SimpleTokenizer, HFTokenizer, get_tokenizer,
+                   TokenizerLoadError, check_specb_brackets, GPT2_BRACKET_IDS)
 from .specb import SpecbCodec, BatchEncoding, encode_batch
 
 __all__ = ["Tokenizer", "SimpleTokenizer", "HFTokenizer", "get_tokenizer",
+           "TokenizerLoadError", "check_specb_brackets", "GPT2_BRACKET_IDS",
            "SpecbCodec", "BatchEncoding", "encode_batch"]

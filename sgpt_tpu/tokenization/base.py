@@ -9,7 +9,44 @@ with zero downloads.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Optional, Protocol, runtime_checkable
+
+logger = logging.getLogger(__name__)
+
+
+class TokenizerLoadError(RuntimeError):
+    """A real (HF) tokenizer was required but could not be loaded/validated.
+
+    Raised instead of silently falling back to the hash tokenizer: a fallback
+    under real weights would encode garbage and report a plausible-but-wrong
+    nDCG (the silent-wrong-result class the score-parity run must never hit).
+    """
+
+
+# GPT-2-family byte-BPE maps printable ASCII to ord(c) - 33, so the SPECB
+# brackets have fixed single-token ids. The reference hardcodes the same
+# tokenize-then-convert path (beir_dense_retriever.py:150-153: encode("[") etc.)
+# and every GPT-2/Neo/J checkpoint shares this vocab; a tokenizer claiming
+# vocab_size 50257 that disagrees is corrupt.
+GPT2_BRACKET_IDS = {"[": [58], "]": [60], "{": [90], "}": [92]}
+_GPT2_VOCAB_SIZE = 50257
+
+
+def check_specb_brackets(tok: "Tokenizer", name: str = "?") -> None:
+    """Preflight: GPT-2-family tokenizers must produce the reference bracket ids.
+
+    No-op for other vocab sizes (BLOOM etc. have their own multi-token
+    brackets, handled generically by SpecbCodec)."""
+    if tok.vocab_size != _GPT2_VOCAB_SIZE:
+        return
+    got = {b: tok.bracket_ids(b) for b in "[]{}"}
+    if got != GPT2_BRACKET_IDS:
+        raise TokenizerLoadError(
+            f"tokenizer {name!r} claims the GPT-2 vocab (50257) but its SPECB "
+            f"bracket ids {got} differ from the reference's {GPT2_BRACKET_IDS} "
+            f"(beir_dense_retriever.py:100-104,150-153) - refusing to encode "
+            f"with a corrupt tokenizer")
 
 
 @runtime_checkable
@@ -79,12 +116,31 @@ class HFTokenizer:
         return self.tok.encode(bracket)
 
 
-def get_tokenizer(name_or_path: Optional[str] = None) -> Tokenizer:
-    """HF tokenizer if loadable from a local path/cache, else SimpleTokenizer."""
+def get_tokenizer(name_or_path: Optional[str] = None, *,
+                  fallback: bool = True) -> Tokenizer:
+    """HF tokenizer if loadable from a local path/cache, else SimpleTokenizer.
+
+    fallback=False raises TokenizerLoadError instead of falling back - REQUIRED
+    whenever real model weights were loaded (a hash tokenizer would silently
+    mis-encode everything; see build_model). Loaded GPT-2-family tokenizers are
+    preflighted against the reference's hardcoded bracket ids either way.
+    """
     if name_or_path:
         try:
             from transformers import AutoTokenizer
-            return HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
-        except Exception:
-            pass
+            tok = HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
+        except Exception as e:
+            if not fallback:
+                raise TokenizerLoadError(
+                    f"could not load HF tokenizer {name_or_path!r} ({e!r}); "
+                    "refusing to fall back to the hash tokenizer because real "
+                    "weights are in play - pass fallback=True only for "
+                    "random-init/smoke runs") from e
+            logger.warning(
+                "FALLING BACK to the hash-bucket SimpleTokenizer: HF tokenizer "
+                "%r failed to load (%r). Embeddings/scores from this run are "
+                "NOT comparable to published numbers.", name_or_path, e)
+            return SimpleTokenizer()
+        check_specb_brackets(tok, name_or_path)
+        return tok
     return SimpleTokenizer()

@@ -44,7 +44,7 @@ def pick_bucket(max_len: int, buckets: Sequence[int], cap: int) -> int:
 ROW_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 
 
-def row_bucket(nmax: int) -> int:
+def row_bucket(nmax: int, allow_overshoot: bool = True) -> int:
     """Static row-count bucket for token-budget batching (rows per dispatch
     scale inversely with the length bucket, keeping B·T ≈ constant).
 
@@ -52,11 +52,16 @@ def row_bucket(nmax: int) -> int:
     the jit-compile count stays bounded by the number of T buckets; final
     partial batches pad rows and reuse the same compile. Rounds UP to the
     next bucket when that overshoots the budget by <= 25% (bounded memory),
-    otherwise down."""
+    otherwise down. Callers pass allow_overshoot=False at the CAP length
+    bucket: there a round-up would dispatch more activation memory than any
+    batch the configured (batch_size, max_seq_len) ever implied — an OOM
+    hazard for configs tuned near the HBM ceiling."""
     lo = None
     for b in ROW_BUCKETS:
         if b >= nmax:
-            return b if b <= nmax * 1.25 else (lo or max(1, nmax))
+            if b == nmax or (allow_overshoot and b <= nmax * 1.25):
+                return b
+            return lo or max(1, nmax)
         lo = b
     return ROW_BUCKETS[-1]
 

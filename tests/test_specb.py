@@ -57,3 +57,34 @@ def test_pad_to_override():
     tok = SimpleTokenizer()
     enc = encode_batch(tok, ["a b"], max_seq_len=64, pad_to=48)
     assert enc.input_ids.shape[1] == 48
+
+
+def test_row_bucket_overshoot_clamped_at_cap():
+    from sgpt_tpu.tokenization.specb import row_bucket
+    # below the cap: <=25% round-up allowed (52 -> 64)
+    assert row_bucket(52) == 64
+    # at the cap bucket the engine passes allow_overshoot=False: never
+    # dispatch more rows*tokens than the configured budget (advisor finding)
+    assert row_bucket(52, allow_overshoot=False) == 32
+    # exact bucket hits stay exact either way
+    assert row_bucket(64, allow_overshoot=False) == 64
+    assert row_bucket(64) == 64
+    # tiny nmax with no smaller bucket: the raw count, not a round-up
+    assert row_bucket(5, allow_overshoot=False) == 5
+    assert row_bucket(7) == 8
+
+
+def test_engine_rows_never_exceed_budget_at_cap():
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.models import tiny, init_params
+    import jax
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    eng = EmbeddingEngine(params, cfg, SimpleTokenizer(vocab_size=cfg.vocab_size),
+                          batch_size=52, max_seq_len=64)
+    for T in (16, 32, 64):
+        B = eng._rows_for_bucket(T)
+        if T == 64:  # cap bucket: hard budget
+            assert B * T <= 52 * 64
+        else:        # shorter buckets: bounded 25% overshoot
+            assert B * T <= 52 * 64 * 1.25

@@ -124,3 +124,44 @@ def test_weighted_layer_pool():
     got = weighted_layer_pool(stack, mask, w)
     want = mean_pool(stack[2], mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_ce_pair_truncation_longest_first(ce):
+    """ST-parity longest_first: both pair members survive truncation.
+
+    Right-truncation made scores passage-independent when s1 filled the
+    window; left-truncation made them query-independent (advisor finding)."""
+    tok = ce.tokenizer
+    long_q = " ".join(f"qw{i}" for i in range(64))   # 64 > max_length=32
+    long_d = " ".join(f"dw{i}" for i in range(64))
+    short_q = "short query"
+    budget = ce.max_length - 1
+
+    # both long: meet at ceil/floor of the budget
+    ids, mask = ce._tokenize_pairs([(long_q, long_d)])
+    row = np.asarray(ids[0])[np.asarray(mask[0]) == 1]
+    sep = np.where(row == tok.eos_id)[0]
+    assert len(row) == ce.max_length
+    a, b = sep[0], len(row) - sep[0] - 1
+    assert abs(int(a) - int(b)) <= 1 and a > 0 and b > 0
+
+    # short s1 + long s2: s1 survives whole, s2 gets the rest
+    ids, mask = ce._tokenize_pairs([(short_q, long_d)])
+    row = np.asarray(ids[0])[np.asarray(mask[0]) == 1]
+    sep = np.where(row == tok.eos_id)[0]
+    nq = len(tok.encode(short_q))
+    assert sep[0] == nq and len(row) - nq - 1 == budget - nq
+
+    # long s1 + short s2: the mirror case the right-truncation bug broke
+    ids, mask = ce._tokenize_pairs([(long_q, "tiny doc")])
+    row = np.asarray(ids[0])[np.asarray(mask[0]) == 1]
+    sep = np.where(row == tok.eos_id)[0]
+    nd = len(tok.encode("tiny doc"))
+    assert len(row) - sep[0] - 1 == nd  # doc fully present
+
+
+def test_ce_pair_scores_depend_on_both_sides(ce):
+    long_q = " ".join(f"qw{i}" for i in range(64))
+    s_a = ce.predict([(long_q, "doc about apples")])
+    s_b = ce.predict([(long_q, "doc about oranges")])
+    assert s_a[0] != s_b[0]  # passage reaches the model even at full-window s1
