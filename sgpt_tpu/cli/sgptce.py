@@ -88,7 +88,8 @@ def main(args=None):
         # free_source: this CLI owns the freshly-loaded tree, and in-place
         # freeing is what lets a 12.2 GB bf16 GPT-J quantize on a 16 GB chip
         params = quantize_decoder_params(params, free_source=True)
-    params = maybe_shard(params, build_mesh(args))
+    mesh = build_mesh(args)
+    params = maybe_shard(params, mesh)
     fewshots = None
     if args.fewshot:
         fewshots = select_fewshot(corpus, queries, qrels, tokenizer,
@@ -118,7 +119,7 @@ def main(args=None):
         shots = fewshots if (args.fewshot or prompt_id in FEW_SHOT) else None
         ranker = build_ranker(prompt_id, params, cfg, tokenizer,
                               fewshots=shots, batch_size=args.batchsize,
-                              max_length=args.maxseqlen)
+                              max_length=args.maxseqlen, mesh=mesh)
         reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
         ndcg_ce, _map, recall, precision = EvaluateRetrieval.evaluate(
             qrels, reranked, k_values)

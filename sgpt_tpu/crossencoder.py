@@ -18,8 +18,10 @@ bucket compiles once; the forward+score is one fused jit (ops/logprobs).
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +45,7 @@ class CrossEncoderRanker:
                  prompt_doc_start: str = "{}\n{}\n",
                  batch_size: int = 16, max_length: Optional[int] = None,
                  vocab_subset: Optional[Sequence[int]] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None, mesh=None):
         if quantize is not None:
             # int8 decoder projections (ops/quant.py): ~1.4x at GPT-J/BLOOM
             # dims AND halves weight HBM — 6B CE fits one 16GB v5e chip
@@ -83,6 +85,39 @@ class CrossEncoderRanker:
             vm = np.zeros((cfg.vocab_size,), bool)
             vm[np.asarray(list(vocab_subset))] = True
             self.vocab_mask = jnp.asarray(vm)
+
+        # Data-parallel rerank over a device mesh: batches shard over dp, so
+        # rerank throughput scales with the mesh instead of one chip's — the
+        # reference's ONLY multi-device inference is exactly this workload
+        # (sgptce.py:54-60 device_map layer sharding; here dp replication
+        # rides ICI and the BEIR top-100 × every-query sweep splits rows).
+        # TP-sharded params compose: jit's automatic partitioning handles the
+        # projection collectives (row batches still shard over dp).
+        self.mesh = mesh
+        self._data_sharding = None
+        self._mesh_score = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._data_sharding = NamedSharding(mesh, P("dp", None))
+            pure_dp = all(n == 1 or ax == "dp" for ax, n in mesh.shape.items())
+            if self.cfg.fused_attention and not pure_dp:
+                # the fused Pallas kernel has no SPMD partitioning rule for
+                # jit's automatic TP partitioning — route to XLA attention
+                # (same gate as EmbeddingEngine's auto mode)
+                self.cfg = self.cfg.replace(fused_attention=False)
+            elif self.cfg.fused_attention and pure_dp:
+                # pure-dp: run the fused scorer under shard_map (per shard
+                # it is just a smaller batch; no SPMD rule needed). The
+                # vocab mask is a small per-ranker constant — close over it.
+                from .ops.logprobs import continuation_scores_gathered as _csg
+                inner = partial(_csg.__wrapped__, cfg=self.cfg,
+                                vocab_mask=self.vocab_mask)
+                self._mesh_score = jax.jit(jax.shard_map(
+                    lambda p, ids, am, cp, ct, cm: inner(p, ids, am, cp, ct, cm),
+                    mesh=mesh,
+                    in_specs=(P(), P("dp", None), P("dp", None),
+                              P("dp", None), P("dp", None), P("dp", None)),
+                    out_specs=P("dp"), check_vma=False))
 
     # ------------------------------------------------------------------
     def _pack(self, context_enc: List[int], continuation_enc: List[int]):
@@ -145,6 +180,11 @@ class CrossEncoderRanker:
             T = max(T, packed[i][1])
             B = row_bucket(max(1, budget // T),
                            allow_overshoot=T < self.max_length)
+            if self.mesh is not None:
+                # rows must split evenly over the dp axis (pad rows reuse the
+                # same compile; their scores are discarded below)
+                dp = self.mesh.shape["dp"]
+                B = ((max(B, dp) + dp - 1) // dp) * dp
             batch = keys[i : i + min(B, len(keys) - i)]
             rows = packed[i : i + len(batch)]
             i += len(batch)
@@ -171,10 +211,16 @@ class CrossEncoderRanker:
             # causal attention: right padding cannot influence scored positions,
             # so a full-ones mask is safe (the reference passes no mask at all)
             amask = np.ones((B, T), np.int32)
-            out = continuation_scores_gathered(
-                self.params, jnp.asarray(ids), jnp.asarray(amask),
-                jnp.asarray(cpos), jnp.asarray(ctgt), jnp.asarray(cmask),
-                self.cfg, self.vocab_mask)
+            arrays = (jnp.asarray(ids), jnp.asarray(amask), jnp.asarray(cpos),
+                      jnp.asarray(ctgt), jnp.asarray(cmask))
+            if self.mesh is not None:
+                arrays = tuple(jax.device_put(a, self._data_sharding)
+                               for a in arrays)
+            if self._mesh_score is not None:
+                out = self._mesh_score(self.params, *arrays)
+            else:
+                out = continuation_scores_gathered(
+                    self.params, *arrays, self.cfg, self.vocab_mask)
             out = np.asarray(out, np.float64)
             for bi, key in enumerate(batch):
                 for orig in uniq[key]:

@@ -122,3 +122,76 @@ def test_dp_mesh_fused_attention_encode_matches_single():
     assert eng._mesh_step is not None          # shard_map path active
     sharded = eng.encode(texts)
     np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def _tiny_ce_setup(vocab=256):
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    cfg = tiny("neo", num_layers=2, hidden_size=64, num_heads=4,
+               vocab_size=vocab, max_position_embeddings=128)
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=vocab)
+    pairs = [("what is topic %d" % i,
+              " ".join(f"word{j}" for j in range(3 + 5 * (i % 4))))
+             for i in range(11)]
+    pairs.append(pairs[0])  # dedup path must still fan scores back out
+    return params, cfg, tok, pairs
+
+
+def test_ce_dp_sharded_scores_match_single():
+    """CrossEncoderRanker(mesh=): rerank scoring shards rows over dp and must
+    equal the single-device scores (the reference's only multi-device
+    inference is exactly the CE, sgptce.py:54-60)."""
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    params, cfg, tok, pairs = _tiny_ce_setup()
+    single = CrossEncoderRanker(params, cfg, tok, batch_size=8,
+                                max_length=64).predict(pairs)
+    mesh = make_mesh(dp=8)
+    ranker = CrossEncoderRanker(shard_params(params, mesh), cfg, tok,
+                                batch_size=8, max_length=64, mesh=mesh)
+    sharded = ranker.predict(pairs)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+
+
+def test_ce_tp_sharded_scores_match_single():
+    """dp×tp mesh: TP param shards + dp row shards through plain jit."""
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    params, cfg, tok, pairs = _tiny_ce_setup()
+    single = CrossEncoderRanker(params, cfg, tok, batch_size=8,
+                                max_length=64).predict(pairs)
+    mesh = make_mesh(dp=2, tp=4)
+    ranker = CrossEncoderRanker(shard_params(params, mesh), cfg, tok,
+                                batch_size=8, max_length=64, mesh=mesh)
+    sharded = ranker.predict(pairs)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+
+
+def test_ce_dp_fused_shard_map_path_matches_single():
+    """Pure-dp + fused attention: the scorer runs under shard_map."""
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    params, cfg, tok, pairs = _tiny_ce_setup()
+    cfg_f = cfg.replace(fused_attention=True)
+    single = CrossEncoderRanker(params, cfg_f, tok, batch_size=8,
+                                max_length=64).predict(pairs)
+    mesh = make_mesh(dp=8)
+    ranker = CrossEncoderRanker(shard_params(params, mesh), cfg_f, tok,
+                                batch_size=8, max_length=64, mesh=mesh)
+    assert ranker._mesh_score is not None
+    sharded = ranker.predict(pairs)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+
+
+def test_yesno_dp_sharded_matches_single():
+    """Vocab-restricted Yes/No scorer over the dp mesh (vocab mask is a
+    closed-over constant inside the shard_map scorer)."""
+    from sgpt_tpu.crossencoder import YesNoRanker
+
+    params, cfg, tok, pairs = _tiny_ce_setup()
+    single = YesNoRanker(params, cfg, tok, batch_size=8,
+                         max_length=64).predict(pairs)
+    mesh = make_mesh(dp=8)
+    sharded = YesNoRanker(shard_params(params, mesh), cfg, tok, batch_size=8,
+                          max_length=64, mesh=mesh).predict(pairs)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
