@@ -96,15 +96,16 @@ class CrossEncoderRanker:
         self.mesh = mesh
         self._data_sharding = None
         self._mesh_score = None
+        self._tp_mesh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._data_sharding = NamedSharding(mesh, P("dp", None))
             pure_dp = all(n == 1 or ax == "dp" for ax, n in mesh.shape.items())
             if self.cfg.fused_attention and not pure_dp:
-                # the fused Pallas kernel has no SPMD partitioning rule for
-                # jit's automatic TP partitioning — route to XLA attention
-                # (same gate as EmbeddingEngine's auto mode)
-                self.cfg = self.cfg.replace(fused_attention=False)
+                # tp>1: the jitted scorer wraps the fused kernel in a nested
+                # shard_map per head-shard (decoder gates on HD/tp VMEM fit —
+                # GPT-J width becomes kernel-legal exactly under TP)
+                self._tp_mesh = mesh
             elif self.cfg.fused_attention and pure_dp:
                 # pure-dp: run the fused scorer under shard_map (per shard
                 # it is just a smaller batch; no SPMD rule needed). The
@@ -220,7 +221,8 @@ class CrossEncoderRanker:
                 out = self._mesh_score(self.params, *arrays)
             else:
                 out = continuation_scores_gathered(
-                    self.params, *arrays, self.cfg, self.vocab_mask)
+                    self.params, *arrays, self.cfg, self.vocab_mask,
+                    tp_mesh=self._tp_mesh)
             out = np.asarray(out, np.float64)
             for bi, key in enumerate(batch):
                 for orig in uniq[key]:

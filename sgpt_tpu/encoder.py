@@ -56,11 +56,12 @@ def _apply_heads(x, head_params, activations):
 
 @partial(jax.jit, static_argnames=("cfg", "method", "layeridx", "do_normalize",
                                    "has_learned_weights", "pre_acts", "post_acts",
-                                   "sp_mesh"))
+                                   "sp_mesh", "tp_mesh"))
 def _embed_step(params, heads, input_ids, mask, learned_weights,
                 cfg: DecoderConfig, method: str, layeridx: int,
                 do_normalize: bool, has_learned_weights: bool,
-                pre_acts: tuple = (), post_acts: tuple = (), sp_mesh=None):
+                pre_acts: tuple = (), post_acts: tuple = (), sp_mesh=None,
+                tp_mesh=None):
     """One fused forward+(heads)+pool step. All shapes static.
 
     heads = {"pre": [{w[,b]}...], "post": [...]} — linear layers applied to
@@ -68,11 +69,15 @@ def _embed_step(params, heads, input_ids, mask, learned_weights,
     embedding after (training_nli_v2.py:105-117).
 
     sp_mesh: sequence-parallel mesh — attention runs as ring attention with
-    T sharded over the mesh (the long-context serving path)."""
+    T sharded over the mesh (the long-context serving path).
+
+    tp_mesh: dp×tp mesh with Megatron-sharded params — lets the fused
+    attention kernel run per head-shard at widths whose full HD overflows
+    VMEM (models/decoder.fused_attention_layer)."""
     needs_stack = (method in STACK_POOLERS) or (layeridx not in (-1, cfg.num_layers))
     if needs_stack:
         stack = forward(params, input_ids, mask, cfg, output_hidden_states=True,
-                        sp_mesh=sp_mesh)
+                        sp_mesh=sp_mesh, tp_mesh=tp_mesh)
         if method in STACK_POOLERS:
             emb = STACK_POOLERS[method](stack, mask)
         else:
@@ -80,7 +85,8 @@ def _embed_step(params, heads, input_ids, mask, learned_weights,
             emb = _pool_single(hidden, mask, method, learned_weights,
                                has_learned_weights)
     else:
-        hidden = forward(params, input_ids, mask, cfg, sp_mesh=sp_mesh)
+        hidden = forward(params, input_ids, mask, cfg, sp_mesh=sp_mesh,
+                         tp_mesh=tp_mesh)
         hidden = _apply_heads(hidden, heads.get("pre", ()), pre_acts)
         emb = _pool_single(hidden, mask, method, learned_weights, has_learned_weights)
     emb = _apply_heads(emb, heads.get("post", ()), post_acts)
@@ -141,15 +147,12 @@ class EmbeddingEngine:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
         if fused_attention is None:
-            # auto: on for single-device AND pure-dp meshes (the embed step
-            # runs under shard_map there, so the Pallas kernel needs no SPMD
-            # partitioning rule — each shard runs it on its batch slice).
-            # TP-sharded params still need jit's automatic partitioning for
-            # the projection collectives, so tp>1 keeps the XLA path.
-            pure_dp = (mesh is not None
-                       and all(n == 1 or ax == "dp"
-                               for ax, n in mesh.shape.items()))
-            fused_attention = (sp_mesh is None and (mesh is None or pure_dp)
+            # auto: on for single-device, pure-dp meshes (embed step under
+            # shard_map — each shard runs the kernel on its batch slice) AND
+            # tp meshes (the kernel runs per head-shard inside the jitted
+            # forward via a nested shard_map; projections keep jit's
+            # automatic TP partitioning — decoder.fused_attention_layer).
+            fused_attention = (sp_mesh is None
                                and jax.default_backend() == "tpu")
         if fused_attention != cfg.fused_attention:
             cfg = cfg.replace(fused_attention=fused_attention)
@@ -210,14 +213,19 @@ class EmbeddingEngine:
         self.mesh = mesh
         self.sp_mesh = sp_mesh
         self._mesh_step = None
+        self._tp_mesh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._data_sharding = NamedSharding(mesh, P("dp", None))
             dp = mesh.shape["dp"]
             if self.batch_size % dp:
                 self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
-            if self.cfg.fused_attention and all(
-                    n == 1 or ax == "dp" for ax, n in mesh.shape.items()):
+            pure_dp = all(n == 1 or ax == "dp" for ax, n in mesh.shape.items())
+            if self.cfg.fused_attention and not pure_dp:
+                # tp>1: the jitted forward wraps the fused kernel in a nested
+                # shard_map per head-shard (decoder gates on HD/tp VMEM fit)
+                self._tp_mesh = mesh
+            if self.cfg.fused_attention and pure_dp:
                 # pure-dp: run the embed step under shard_map so the fused
                 # Pallas kernel works multi-device (it has no SPMD
                 # partitioning rule under plain jit; per-shard it's just a
@@ -244,7 +252,7 @@ class EmbeddingEngine:
                            self.method, self.layeridx, self.normalize,
                            self.has_learned_weights,
                            tuple(self.pre_acts), tuple(self.post_acts),
-                           sp_mesh=self.sp_mesh)
+                           sp_mesh=self.sp_mesh, tp_mesh=self._tp_mesh)
 
     def _rows_for_bucket(self, T: int) -> int:
         """Rows per dispatch for length bucket T (token-budget batching).

@@ -170,11 +170,20 @@ def flash_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
 def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
                           attention_mask: jax.Array, local_flag,
                           rope: Optional[tuple],
-                          slopes: Optional[jax.Array]) -> jax.Array:
+                          slopes: Optional[jax.Array],
+                          tp_mesh=None, tp_axis: str = "tp") -> jax.Array:
     """Causal attention via the fused short-T kernel
     (ops/pallas/short_attention.py): q/k/v stay in the (B, T, H*Dh)
     projection layout, the (T, T) scores never leave VMEM. ~1.8x the XLA
-    path at BEIR encode shapes (docs/PERF.md)."""
+    path at BEIR encode shapes (docs/PERF.md).
+
+    tp_mesh: with Megatron-TP-sharded params, the kernel runs under a
+    shard_map over the mesh — each device's head slice (H/tp heads) is an
+    independent attention problem, and q/k/v arrive ALREADY sharded
+    P(dp, None, tp) from the GSPMD column-parallel projections, so the wrap
+    costs zero resharding. The per-shard width HD/tp is what must fit VMEM:
+    GPT-J's HD=4096 overflows the single-chip gate at T=304 but fits at
+    tp>=2 — TP makes the kernel legal exactly at flagship width."""
     from ..ops.pallas.short_attention import short_attention
 
     B, T, _ = x.shape
@@ -189,9 +198,28 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
     use_alibi = slopes is not None
     sl = slopes if use_alibi else jnp.zeros((H,), jnp.float32)
 
-    def run(window: int):
-        return short_attention(q, k, v, attention_mask, sl,
-                               scale, window, H, use_alibi)
+    if tp_mesh is None:
+        def run(window: int):
+            return short_attention(q, k, v, attention_mask, sl,
+                                   scale, window, H, use_alibi)
+    else:
+        from jax.sharding import PartitionSpec as P
+        tp = tp_mesh.shape[tp_axis]
+        Hs = H // tp
+        batch_axes = tuple(ax for ax, n in tp_mesh.shape.items()
+                           if ax != tp_axis and n > 1) or None
+
+        def run(window: int):
+            fn = jax.shard_map(
+                lambda q_, k_, v_, m_, s_: short_attention(
+                    q_, k_, v_, m_, s_, scale, window, Hs, use_alibi),
+                mesh=tp_mesh,
+                in_specs=(P(batch_axes, None, tp_axis),
+                          P(batch_axes, None, tp_axis),
+                          P(batch_axes, None, tp_axis),
+                          P(batch_axes, None), P(tp_axis)),
+                out_specs=P(batch_axes, None, tp_axis), check_vma=False)
+            return fn(q, k, v, attention_mask, sl)
 
     if any(cfg.local_flags()):
         out = jax.lax.cond(local_flag, lambda: run(cfg.local_window),
@@ -201,8 +229,10 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
     return _project(out, p["wo"], p.get("bo"))
 
 
-def mlp(x: jax.Array, p: dict) -> jax.Array:
-    h = gelu_tanh(_project(x, p["wi"], p.get("bi")))
+def mlp(x: jax.Array, p: dict, exact_gelu: bool = False) -> jax.Array:
+    h = _project(x, p["wi"], p.get("bi"))
+    # BERT uses the exact erf GELU; the GPT families use the tanh approx
+    h = jax.nn.gelu(h, approximate=not exact_gelu)
     return _project(h, p["wo"], p.get("bo"))
 
 
@@ -210,27 +240,31 @@ def mlp(x: jax.Array, p: dict) -> jax.Array:
 # Full forward
 # ---------------------------------------------------------------------------
 
-def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool):
-    """Build (B,1,T,T) fp32 additive biases: (global, local or None)."""
+def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool,
+               causal: bool = True):
+    """Build (B,1,T,T) fp32 additive biases: (global, local or None).
+    causal=False (BERT): only padding keys mask out."""
     i = jnp.arange(T)[:, None]
     j = jnp.arange(T)[None, :]
-    causal = j <= i
+    struct = (j <= i) if causal else jnp.ones((T, T), bool)
     keymask = attention_mask[:, None, None, :].astype(bool)          # (B,1,1,T)
-    ok_global = jnp.logical_and(causal[None, None], keymask)
+    ok_global = jnp.logical_and(struct[None, None], keymask)
     bias_global = jnp.where(ok_global, 0.0, NEG_INF)
     if not want_local:
         return bias_global, None
-    local = jnp.logical_and(causal, j > i - window)
+    local = jnp.logical_and(struct, j > i - window)
     ok_local = jnp.logical_and(local[None, None], keymask)
     return bias_global, jnp.where(ok_local, 0.0, NEG_INF)
 
 
 @partial(jax.jit, static_argnames=("cfg", "output_hidden_states", "sp_mesh",
-                                   "sp_axis"))
+                                   "sp_axis", "tp_mesh", "tp_axis"))
 def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
             cfg: DecoderConfig, *, output_hidden_states: bool = False,
             position_ids: Optional[jax.Array] = None,
             sp_mesh=None, sp_axis: str = "dp",
+            tp_mesh=None, tp_axis: str = "tp",
+            token_type_ids: Optional[jax.Array] = None,
             cond: Optional[jax.Array] = None, cond_params: Optional[dict] = None):
     """Run the decoder.
 
@@ -240,6 +274,11 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
     sp_mesh: optional Mesh for SEQUENCE parallelism — attention runs as ring
     attention over `sp_axis` (ops/ring_attention.py) so T scales with chips;
     everything token-local (embeds, layernorm, MLP) shards automatically.
+
+    tp_mesh: with Megatron-TP-sharded params under a dp×tp mesh, lets the
+    fused short-T attention kernel run per head-shard via shard_map (VMEM
+    gate evaluates the per-shard width HD/tp — see fused_attention_layer);
+    ignored when the fused kernel is off or the shape routes elsewhere.
 
     cond/cond_params: TSDAE-style decoding conditioned on a (B, D) sentence
     embedding. The reference decodes with HF cross-attention to a SINGLE
@@ -254,6 +293,8 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                              output_hidden_states=output_hidden_states,
                              position_ids=position_ids,
                              sp_mesh=sp_mesh, sp_axis=sp_axis,
+                             tp_mesh=tp_mesh, tp_axis=tp_axis,
+                             token_type_ids=token_type_ids,
                              cond=cond, cond_params=cond_params)
 
 
@@ -285,7 +326,8 @@ def ring_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
 
 def _forward_impl(params, input_ids, attention_mask, cfg, *,
                   output_hidden_states, position_ids, sp_mesh=None,
-                  sp_axis="dp", cond=None, cond_params=None):
+                  sp_axis="dp", tp_mesh=None, tp_axis="tp",
+                  token_type_ids=None, cond=None, cond_params=None):
     B, T = input_ids.shape
     dtype = cfg.dtype
 
@@ -296,6 +338,10 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         positions = position_ids
     if cfg.position_embedding == "learned":
         x = x + jnp.take(params["wpe"], positions, axis=0).astype(dtype)
+    if cfg.token_type_vocab:
+        tt = (token_type_ids if token_type_ids is not None
+              else jnp.zeros_like(input_ids))
+        x = x + jnp.take(params["wtt"], tt, axis=0).astype(dtype)
     if cfg.embedding_layernorm:
         x = layer_norm(x, params["emb_ln"]["scale"], params["emb_ln"]["bias"],
                        cfg.layer_norm_eps)
@@ -305,7 +351,13 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         rope = rope_sincos(positions, cfg.rotary_dim)
 
     use_sp = sp_mesh is not None
-    use_flash = cfg.use_flash and T % 128 == 0 and not use_sp
+    if cfg.bidirectional and use_sp:
+        raise NotImplementedError(
+            "ring attention is causal-only; BERT sp encode is unsupported")
+    # flash/fused Pallas kernels implement the causal mask; encoder
+    # (bidirectional) models take the XLA path
+    use_flash = (cfg.use_flash and T % 128 == 0 and not use_sp
+                 and not cfg.bidirectional)
     # fused short-T kernel: VMEM-resident scores. Lower cap because below
     # T~160 the (T, T) score traffic XLA pays is small enough that the
     # kernel's per-layer invocation overhead loses (measured A/B at T=75
@@ -317,11 +369,20 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     # score tile economical. The flag can stay on everywhere; the shape
     # picks the faster path.
     use_fused = False
+    tp_size = 1
+    if tp_mesh is not None:
+        tp_size = tp_mesh.shape[tp_axis]
+        if tp_size == 1 or cfg.num_heads % tp_size:
+            tp_mesh, tp_size = None, 1  # head slices must align; fall back
     if (cfg.fused_attention and not use_sp and not use_flash
-            and 160 <= T <= 512):
+            and not cfg.bidirectional and 160 <= T <= 512):
         from ..ops.pallas.short_attention import fwd_fits_vmem
-        use_fused = fwd_fits_vmem(T, cfg.num_heads * cfg.head_size,
-                                  jnp.dtype(cfg.dtype).itemsize)
+        # under TP the kernel runs per head-shard (shard_map), so the VMEM
+        # residency is a function of the SHARD width HD/tp — GPT-J at tp=2
+        # fits where the full HD=4096 does not (fused_attention_layer)
+        use_fused = fwd_fits_vmem(
+            T, cfg.num_heads * cfg.head_size // tp_size,
+            jnp.dtype(cfg.dtype).itemsize)
     alibi = None
     slopes = None
     if cfg.position_embedding == "alibi":
@@ -335,7 +396,8 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         bias_global = bias_local = None
     else:
         bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window,
-                                             any_local)
+                                             any_local,
+                                             causal=not cfg.bidirectional)
     is_local = jnp.asarray(cfg.local_flags())
 
     layers = params["layers"]
@@ -346,6 +408,16 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
             cp = None
         else:
             p, local_flag, cp = xs
+        if cfg.post_layernorm:
+            # BERT block: attention on the RAW residual stream, LayerNorm
+            # AFTER each residual add (HF BertLayer ordering)
+            attn_out = attention(x, p["attn"], cfg, bias_global, rope, alibi)
+            x = layer_norm(x + attn_out, p["ln1"]["scale"], p["ln1"]["bias"],
+                           cfg.layer_norm_eps)
+            mlp_out = mlp(x, p["mlp"], cfg.gelu_exact)
+            x = layer_norm(x + mlp_out, p["ln2"]["scale"], p["ln2"]["bias"],
+                           cfg.layer_norm_eps)
+            return x, (x if output_hidden_states else None)
         h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
         if use_sp:
             attn_out = ring_attention_layer(h1, p["attn"], cfg, attention_mask,
@@ -355,8 +427,9 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
             attn_out = flash_attention_layer(h1, p["attn"], cfg, attention_mask,
                                              local_flag, rope, slopes)
         elif use_fused:
-            attn_out = fused_attention_layer(h1, p["attn"], cfg, attention_mask,
-                                             local_flag, rope, slopes)
+            attn_out = fused_attention_layer(
+                h1, p["attn"], cfg, attention_mask, local_flag, rope, slopes,
+                tp_mesh=tp_mesh if tp_size > 1 else None, tp_axis=tp_axis)
         else:
             if bias_local is not None:
                 mask_bias = jnp.where(local_flag, bias_local, bias_global)
@@ -382,7 +455,11 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     x0 = x
     xs = (layers, is_local) if cond is None else (layers, is_local, cond_params)
     x, ys = jax.lax.scan(block, x, xs)
-    final = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], cfg.layer_norm_eps)
+    if cfg.post_layernorm:
+        final = x  # BERT: each block ends on its own LayerNorm; no ln_f
+    else:
+        final = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"],
+                           cfg.layer_norm_eps)
 
     if output_hidden_states:
         # HF semantics: [embeddings, block_1..block_{N-1} outputs, ln_f(block_N)]

@@ -43,11 +43,12 @@ def continuation_scores(params, input_ids, attention_mask, targets, target_mask,
     return jnp.sum(tok_lp, axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "tp_mesh"))
 def continuation_scores_gathered(params, input_ids, attention_mask,
                                  cont_positions, cont_targets, cont_mask,
                                  cfg: DecoderConfig,
-                                 vocab_mask: Optional[jax.Array] = None):
+                                 vocab_mask: Optional[jax.Array] = None,
+                                 tp_mesh=None):
     """continuation_scores with the LM head applied ONLY at the scored
     positions: hidden states gather to (B, C) continuation windows BEFORE the
     vocab projection, so the (B, T, V) logits tensor (50k-wide fp32, plus its
@@ -57,8 +58,12 @@ def continuation_scores_gathered(params, input_ids, attention_mask,
 
     cont_positions: (B, C) int32 input positions whose next-token logprobs are
     scored (clipped in-range for padding slots); cont_targets/cont_mask: (B, C).
+
+    tp_mesh: dp×tp mesh with Megatron-sharded params — enables the fused
+    attention kernel per head-shard at CE flagship widths (GPT-J at tp>=2;
+    models/decoder.fused_attention_layer).
     """
-    h = forward(params, input_ids, attention_mask, cfg)
+    h = forward(params, input_ids, attention_mask, cfg, tp_mesh=tp_mesh)
     hc = jnp.take_along_axis(
         h, cont_positions[..., None].astype(jnp.int32), axis=1)     # (B, C, D)
     lg = logits(params, hc, cfg).astype(jnp.float32)                # (B, C, V)
