@@ -79,15 +79,33 @@ class TrainConfig:
 
 class ContrastiveTrainer:
     def __init__(self, params, cfg: DecoderConfig, tokenizer: Tokenizer,
-                 train_config: TrainConfig, mesh=None):
+                 train_config: TrainConfig, mesh=None, sp_mesh=None):
         """mesh: optional jax.sharding.Mesh with ('dp','tp') axes. Batches are
         sharded over dp, params Megatron-TP-sharded over tp (parallel/sharding
         .py) — the single-controller replacement for the reference's 8-GPU
         Accelerate fit (SentenceTransformer.py:691-741). The computed loss and
         updates are EXACTLY the single-device ones: jit inserts the in-batch
-        negatives all-gather from the sharding annotations."""
+        negatives all-gather from the sharding annotations.
+
+        sp_mesh: SEQUENCE-parallel training — attention in every forward (and
+        its backward; ring attention is differentiable through ppermute) runs
+        as ring attention with T sharded over the mesh, so contrastive
+        fine-tuning works at document lengths beyond one chip's attention
+        budget. Mutually exclusive with mesh; max_seq_len must divide by the
+        sp axis size. Long-context capability the reference lacks entirely
+        (it truncates at 2048 — SURVEY §5)."""
+        if mesh is not None and sp_mesh is not None:
+            raise ValueError("pass either mesh (dp/tp training) or sp_mesh "
+                             "(sequence-parallel long-context), not both")
         self.cfg = cfg
         self.tc = train_config
+        self.sp_mesh = sp_mesh
+        if sp_mesh is not None:
+            n_sp = int(np.prod(list(sp_mesh.shape.values())))
+            if train_config.max_seq_len % n_sp:
+                raise ValueError(
+                    f"max_seq_len={train_config.max_seq_len} must divide by "
+                    f"the sp mesh size {n_sp} (ring attention shards T)")
         self.tokenizer = tokenizer
         # clean_newlines=False: the reference's ST training path tokenizes
         # raw text; the newline->space cleanup is a BEIR-embed-path behavior
@@ -184,9 +202,11 @@ class ContrastiveTrainer:
                 f"{sorted(POOLERS)} or 'learned_weightedmean'")
         pooler = POOLERS.get(method, weighted_mean_pool)
         head_meta = list(self._head_meta)
+        sp_mesh = self.sp_mesh
 
         def encode(tree, chunk):
-            h = forward(tree["model"], chunk["ids"], chunk["mask"], cfg)
+            h = forward(tree["model"], chunk["ids"], chunk["mask"], cfg,
+                        sp_mesh=sp_mesh)
             heads = tree["aux"].get("heads", [])
             for p, meta in zip(heads, head_meta):
                 if meta["location"] == "pre_pool":

@@ -43,23 +43,30 @@ def init_tsdae_params(cfg: DecoderConfig, key: jax.Array) -> dict:
             "b": jnp.zeros((L, D), jnp.float32)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "pooling"))
+@partial(jax.jit, static_argnames=("cfg", "pooling", "sp_mesh"))
 def tsdae_loss(params, tsdae_params, src_ids, src_mask, tgt_ids, tgt_mask,
-               cfg: DecoderConfig, pooling: str = "weightedmean") -> jax.Array:
+               cfg: DecoderConfig, pooling: str = "weightedmean",
+               sp_mesh=None) -> jax.Array:
     """Encoder(noisy) → rep; tied decoder reconstructs the original.
 
     src_*: the noisy sentence (encoder input); tgt_*: the original.
     Decoder input = tgt[:-1], labels = tgt[1:]; pad label positions are
     excluded from the mean (the reference's ignore_index CE). The decoder
     attends with a full (all-ones) mask like the reference's
-    attention_mask=None — right-pads are causally invisible to real tokens."""
-    rep = POOLERS[pooling](forward(params, src_ids, src_mask, cfg), src_mask)
+    attention_mask=None — right-pads are causally invisible to real tokens.
+
+    sp_mesh: long-document TSDAE — both the encoder and the tied decoder run
+    ring attention with T sharded over the mesh (attention AND its backward;
+    the reconstruction sequence length is T-1, so the decoder side requires
+    (max_seq_len - 1) %% sp == 0 — TSDAETrainer pads for this)."""
+    rep = POOLERS[pooling](
+        forward(params, src_ids, src_mask, cfg, sp_mesh=sp_mesh), src_mask)
 
     dec_ids = tgt_ids[:, :-1]
     labels = tgt_ids[:, 1:]
     label_mask = tgt_mask[:, 1:].astype(jnp.float32)
     h = forward(params, dec_ids, jnp.ones_like(dec_ids), cfg,
-                cond=rep, cond_params=tsdae_params)
+                cond=rep, cond_params=tsdae_params, sp_mesh=sp_mesh)
     lg = logits(params, h, cfg).astype(jnp.float32)
     logp = jax.nn.log_softmax(lg, axis=-1)
     tok = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
@@ -75,7 +82,10 @@ class TSDAETrainer:
     def __init__(self, params, cfg: DecoderConfig, tokenizer, *,
                  pooling: str = "weightedmean", max_seq_len: int = 75,
                  lr: float = 3e-5, weight_decay: float = 0.0,
-                 freeze_nonbias: bool = False, seed: int = 0):
+                 freeze_nonbias: bool = False, seed: int = 0, sp_mesh=None):
+        """sp_mesh: sequence-parallel long-document TSDAE — ring attention
+        shards T over the mesh in the encoder AND the tied decoder (whose
+        input is one token shorter, so the two sides pad independently)."""
         import optax
 
         from ..tokenization.specb import SpecbCodec
@@ -86,6 +96,14 @@ class TSDAETrainer:
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=False,
                                 clean_newlines=False)  # raw text, like ST
         self.max_seq_len = max_seq_len
+        self.sp_mesh = sp_mesh
+        self._src_pad = self._tgt_pad = max_seq_len
+        if sp_mesh is not None:
+            import numpy as _np
+            n_sp = int(_np.prod(list(sp_mesh.shape.values())))
+            up = lambda n: (n + n_sp - 1) // n_sp * n_sp
+            self._src_pad = up(max_seq_len)          # encoder sees T
+            self._tgt_pad = up(max_seq_len - 1) + 1  # decoder sees T-1
         self.tree = {"model": params,
                      "tsdae": init_tsdae_params(cfg, jax.random.key(seed))}
         base = optax.adamw(lr, weight_decay=weight_decay)
@@ -100,12 +118,14 @@ class TSDAETrainer:
 
         cfg_ = cfg
         pooling_ = pooling
+        sp_mesh_ = sp_mesh
 
         @jax.jit
         def step(tree, opt_state, src_ids, src_mask, tgt_ids, tgt_mask):
             def loss_fn(t):
                 return tsdae_loss(t["model"], t["tsdae"], src_ids, src_mask,
-                                  tgt_ids, tgt_mask, cfg_, pooling_)
+                                  tgt_ids, tgt_mask, cfg_, pooling_,
+                                  sp_mesh=sp_mesh_)
             loss, grads = jax.value_and_grad(loss_fn)(tree)
             updates, opt_state = self._opt.update(grads, opt_state, tree)
             import optax as _optax
@@ -121,8 +141,8 @@ class TSDAETrainer:
         """pairs: [(noisy, original), ...] or InputExamples with 2 texts."""
         noisy = [p.texts[0] if hasattr(p, "texts") else p[0] for p in pairs]
         orig = [p.texts[1] if hasattr(p, "texts") else p[1] for p in pairs]
-        src = self.codec.encode(noisy, is_query=False, pad_to=self.max_seq_len)
-        tgt = self.codec.encode(orig, is_query=False, pad_to=self.max_seq_len)
+        src = self.codec.encode(noisy, is_query=False, pad_to=self._src_pad)
+        tgt = self.codec.encode(orig, is_query=False, pad_to=self._tgt_pad)
         self.tree, self._opt_state, loss = self._step(
             self.tree, self._opt_state,
             jnp.asarray(src.input_ids), jnp.asarray(src.attention_mask),
