@@ -58,8 +58,8 @@ def build_model(model_name: str, *, random_init: bool = False,
     `--randominit` mirrors the reference's `--reinit` debugging flag
     (beir_dense_retriever.py:124-126) and doubles as the zero-egress smoke path.
     """
-    from ..models import (gpt_neo, gpt_j_6b, bloom, load_pretrained, init_params,
-                          cast_params, guess_family)
+    from ..models import (gpt_neo, gpt_j_6b, bloom, bert, load_pretrained,
+                          init_params, cast_params, guess_family)
     from ..tokenization import get_tokenizer
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_str]
@@ -67,6 +67,8 @@ def build_model(model_name: str, *, random_init: bool = False,
     if random_init:
         if "6b" in low or "5.8b" in low or "6.1b" in low:
             cfg = gpt_j_6b()
+        elif "bert" in low:
+            cfg = bert("large" if "large" in low else "base")
         elif "bloom" in low:
             cfg = bloom("1b7")
         elif "1.3b" in low:

@@ -49,6 +49,15 @@ class DecoderConfig:
     qkv_bias: bool = False                   # BLOOM: True
     out_bias: bool = True                    # GPT-J: False
     layer_norm_eps: float = 1e-5
+
+    # BERT-family structural flags (SURVEY §1 L1 lists BERT among the
+    # backbones: the reference's ST fork drives BERT baselines through the
+    # same Transformer module — models/Transformer.py:30-40). The unified
+    # forward covers it with four switches:
+    bidirectional: bool = False              # no causal mask (encoder model)
+    post_layernorm: bool = False             # LN AFTER residual add (BERT)
+    token_type_vocab: int = 0                # >0: add token-type embeddings
+    gelu_exact: bool = False                 # erf GELU (BERT) vs tanh approx
     dtype: jnp.dtype = jnp.float32           # activation/compute dtype
     # Matmul precision for fp32 inputs. XLA's "default" runs fp32 matmuls in
     # reduced (bf16-class) precision on TPU, which breaks checkpoint parity;
@@ -140,6 +149,32 @@ def bloom(size: str = "1b7", **kw) -> DecoderConfig:
     )
 
 
+def bert(size: str = "base", **kw) -> DecoderConfig:
+    """BERT encoder presets (bert-base/large-uncased geometry). Baseline
+    parity: the reference's NLI/MSMARCO training entries accept any HF name
+    (training_nli_v2.py model_name arg), BERT included."""
+    dims = {
+        "base": dict(hidden_size=768, num_layers=12, num_heads=12),
+        "large": dict(hidden_size=1024, num_layers=24, num_heads=16),
+    }[size]
+    return DecoderConfig(
+        vocab_size=30522,
+        max_position_embeddings=512,
+        position_embedding="learned",
+        scale_attn=True,
+        qkv_bias=True,
+        out_bias=True,
+        layer_norm_eps=1e-12,
+        bidirectional=True,
+        post_layernorm=True,
+        embedding_layernorm=True,
+        token_type_vocab=2,
+        gelu_exact=True,
+        **dims,
+        **kw,
+    )
+
+
 def tiny(family: str = "neo", vocab_size: int = 257, **kw) -> DecoderConfig:
     """Small configs for tests; same structural flags as the full families."""
     base = dict(vocab_size=vocab_size, hidden_size=64, num_layers=4, num_heads=4,
@@ -154,4 +189,10 @@ def tiny(family: str = "neo", vocab_size: int = 257, **kw) -> DecoderConfig:
     if family == "bloom":
         return DecoderConfig(position_embedding="alibi", embedding_layernorm=True,
                              qkv_bias=True, **base)
+    if family == "bert":
+        return DecoderConfig(position_embedding="learned", scale_attn=True,
+                             qkv_bias=True, layer_norm_eps=1e-12,
+                             bidirectional=True, post_layernorm=True,
+                             embedding_layernorm=True, token_type_vocab=2,
+                             gelu_exact=True, **base)
     raise ValueError(f"unknown family {family!r}")

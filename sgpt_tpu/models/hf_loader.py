@@ -27,7 +27,7 @@ def _strip_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Drop 'transformer.' / 'gpt_neox.' style prefixes and lm_head into flat names."""
     out = {}
     for k, v in sd.items():
-        k = re.sub(r"^(transformer\.|model\.)", "", k)
+        k = re.sub(r"^(transformer\.|model\.|bert\.)", "", k)
         out[k] = v
     return out
 
@@ -134,6 +134,42 @@ def convert_hf_state_dict(state_dict: Mapping, cfg: DecoderConfig, family: str,
             "ln_f": {"scale": jnp.asarray(sd["ln_f.weight"], dtype),
                      "bias": jnp.asarray(sd["ln_f.bias"], dtype)},
         }
+    elif family == "bert":
+        # HF BertModel: embeddings.{word,position,token_type}_embeddings +
+        # LayerNorm; encoder.layer.i.attention.self.{query,key,value},
+        # attention.output.{dense,LayerNorm}, intermediate.dense,
+        # output.{dense,LayerNorm}. The pooler head is ignored (the ST
+        # pipeline pools hidden states itself — models/Pooling.py).
+        lp = "encoder.layer.{i}."
+        params = {
+            "wte": jnp.asarray(sd["embeddings.word_embeddings.weight"], dtype),
+            "wpe": jnp.asarray(sd["embeddings.position_embeddings.weight"], dtype),
+            "wtt": jnp.asarray(sd["embeddings.token_type_embeddings.weight"], dtype),
+            "emb_ln": {"scale": jnp.asarray(sd["embeddings.LayerNorm.weight"], dtype),
+                       "bias": jnp.asarray(sd["embeddings.LayerNorm.bias"], dtype)},
+            "layers": {
+                "attn": {
+                    "wq": _stack([t(lp.format(i=i) + "attention.self.query.weight") for i in range(L)]),
+                    "bq": _stack([sd[lp.format(i=i) + "attention.self.query.bias"] for i in range(L)]),
+                    "wk": _stack([t(lp.format(i=i) + "attention.self.key.weight") for i in range(L)]),
+                    "bk": _stack([sd[lp.format(i=i) + "attention.self.key.bias"] for i in range(L)]),
+                    "wv": _stack([t(lp.format(i=i) + "attention.self.value.weight") for i in range(L)]),
+                    "bv": _stack([sd[lp.format(i=i) + "attention.self.value.bias"] for i in range(L)]),
+                    "wo": _stack([t(lp.format(i=i) + "attention.output.dense.weight") for i in range(L)]),
+                    "bo": _stack([sd[lp.format(i=i) + "attention.output.dense.bias"] for i in range(L)]),
+                },
+                "ln1": {"scale": _stack([sd[lp.format(i=i) + "attention.output.LayerNorm.weight"] for i in range(L)]),
+                        "bias": _stack([sd[lp.format(i=i) + "attention.output.LayerNorm.bias"] for i in range(L)])},
+                "mlp": {
+                    "wi": _stack([t(lp.format(i=i) + "intermediate.dense.weight") for i in range(L)]),
+                    "bi": _stack([sd[lp.format(i=i) + "intermediate.dense.bias"] for i in range(L)]),
+                    "wo": _stack([t(lp.format(i=i) + "output.dense.weight") for i in range(L)]),
+                    "bo": _stack([sd[lp.format(i=i) + "output.dense.bias"] for i in range(L)]),
+                },
+                "ln2": {"scale": _stack([sd[lp.format(i=i) + "output.LayerNorm.weight"] for i in range(L)]),
+                        "bias": _stack([sd[lp.format(i=i) + "output.LayerNorm.bias"] for i in range(L)])},
+            },
+        }
     else:
         raise ValueError(f"unknown family {family!r}")
 
@@ -177,6 +213,17 @@ def config_from_hf(hf_config, family: str) -> DecoderConfig:
                  position_embedding="alibi", embedding_layernorm=True,
                  scale_attn=True, qkv_bias=True, out_bias=True,
                  layer_norm_eps=hf_config.layer_norm_epsilon)
+    if family == "bert":
+        return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.hidden_size,
+                 num_layers=hf_config.num_hidden_layers,
+                 num_heads=hf_config.num_attention_heads,
+                 max_position_embeddings=hf_config.max_position_embeddings,
+                 intermediate_size=hf_config.intermediate_size,
+                 position_embedding="learned", scale_attn=True, qkv_bias=True,
+                 out_bias=True, layer_norm_eps=hf_config.layer_norm_eps,
+                 bidirectional=True, post_layernorm=True,
+                 embedding_layernorm=True,
+                 token_type_vocab=hf_config.type_vocab_size, gelu_exact=True)
     raise ValueError(f"unknown family {family!r}")
 
 
@@ -184,6 +231,9 @@ FAMILY_PATTERNS = (
     ("bloom", ("bloom",)),
     ("gptj", ("gpt-j", "gptj", "6.1b", "5.8b")),
     ("neo", ("gpt-neo", "gptneo", "125m", "1.3b", "2.7b")),
+    # last: "bert" also matches roberta/distilbert names, which are NOT
+    # this architecture — prefer AutoConfig.model_type when weights exist
+    ("bert", ("bert",)),
 )
 
 
@@ -203,11 +253,18 @@ def load_pretrained(name_or_path: str, family: str | None = None, dtype=jnp.floa
     False) are kept — decoder.logits() would otherwise silently fall back to
     the wte tie and cross-encoder scores would be wrong.
     """
-    from transformers import AutoConfig, AutoModelForCausalLM
-    family = family or guess_family(name_or_path)
+    from transformers import AutoConfig, AutoModel, AutoModelForCausalLM
     hf_cfg = AutoConfig.from_pretrained(name_or_path)
+    # the config's model_type is authoritative when available (name-pattern
+    # guessing would mistake e.g. roberta for bert)
+    if family is None and getattr(hf_cfg, "model_type", None) == "bert":
+        family = "bert"
+    family = family or guess_family(name_or_path)
+    if family == "bert":
+        model = AutoModel.from_pretrained(name_or_path)  # no causal-LM head
+    else:
+        model = AutoModelForCausalLM.from_pretrained(name_or_path)
     cfg = config_from_hf(hf_cfg, family)
-    model = AutoModelForCausalLM.from_pretrained(name_or_path)
     sd = dict(model.state_dict())
     if getattr(hf_cfg, "tie_word_embeddings", True):
         sd.pop("lm_head.weight", None)  # tied: logits() uses wte directly

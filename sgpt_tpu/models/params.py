@@ -34,12 +34,16 @@ def param_shapes(cfg: DecoderConfig) -> dict:
     tree = {
         "wte": (cfg.vocab_size, D),
         "layers": layers,
-        "ln_f": {"scale": (D,), "bias": (D,)},
     }
+    if not cfg.post_layernorm:
+        # BERT-style post-LN blocks end on their own LayerNorm; no final ln_f
+        tree["ln_f"] = {"scale": (D,), "bias": (D,)}
     if cfg.position_embedding == "learned":
         tree["wpe"] = (cfg.max_position_embeddings, D)
     if cfg.embedding_layernorm:
         tree["emb_ln"] = {"scale": (D,), "bias": (D,)}
+    if cfg.token_type_vocab:
+        tree["wtt"] = (cfg.token_type_vocab, D)
     return tree
 
 

@@ -104,3 +104,64 @@ def test_init_and_logits_shapes():
 
     hs = forward(params, ids, mask, cfg, output_hidden_states=True)
     assert hs.shape == (cfg.num_layers + 1, 2, 5, cfg.hidden_size)
+
+
+def test_bert_parity():
+    """BERT backbone (bidirectional, post-LN, token types, exact GELU) vs the
+    HF BertModel — baseline parity for the ST fork's BERT runs
+    (models/Transformer.py:30-40 accepts any HF name)."""
+    from transformers import BertConfig, BertModel
+    hf_cfg = BertConfig(
+        vocab_size=257, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=256,
+        max_position_embeddings=128, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg)
+    cfg = config_from_hf(hf_cfg, "bert")
+    assert cfg.bidirectional and cfg.post_layernorm and cfg.gelu_exact
+    assert cfg.token_type_vocab == 2 and cfg.layer_norm_eps == 1e-12
+    _check_parity(model, cfg, "bert")
+
+
+def test_bert_token_types_change_output():
+    """token_type_ids flow into the embedding sum (segment embeddings)."""
+    from sgpt_tpu.models import tiny as tiny_cfg
+    cfg = tiny_cfg("bert")
+    params = init_params(cfg, __import__("jax").random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)), jnp.int32)
+    mask = jnp.ones((2, 9), jnp.int32)
+    h0 = np.asarray(forward(params, ids, mask, cfg))
+    h1 = np.asarray(forward(params, ids, mask, cfg,
+                            token_type_ids=jnp.ones((2, 9), jnp.int32)))
+    assert np.abs(h0 - h1).max() > 1e-4
+
+
+def test_bert_end_to_end_engine_and_trainer():
+    """BERT drives the same EmbeddingEngine + ContrastiveTrainer surface the
+    decoder families use (--modelname bert-base-uncased works in the BEIR/
+    USEB drivers; training_nli_v2.py accepts any HF name)."""
+    import jax
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.models import tiny as tiny_cfg
+    from sgpt_tpu.tokenization import SimpleTokenizer
+    from sgpt_tpu.training import ContrastiveTrainer, TrainConfig
+
+    cfg = tiny_cfg("bert", vocab_size=256)
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=256)
+
+    eng = EmbeddingEngine(params, cfg, tok, method="mean", batch_size=4,
+                          max_seq_len=32, normalize_embeddings=True)
+    emb = eng.encode([f"document {i} words" for i in range(5)])
+    assert emb.shape == (5, 64) and np.isfinite(emb).all()
+
+    batch = [(f"anchor {i}", f"positive {i}") for i in range(4)]
+    t = ContrastiveTrainer(params, cfg, tok,
+                           TrainConfig(batch_size=4, max_seq_len=16, lr=1e-3,
+                                       pooling="mean"))
+    out = t.fit(lambda: iter([batch, batch]), steps_per_epoch=2)
+    losses = [h["loss"] for h in out["history"] if "loss" in h]
+    assert len(losses) == 2 and all(np.isfinite(losses))
