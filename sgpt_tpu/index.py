@@ -30,14 +30,23 @@ class DenseIndex:
 
     def __init__(self, dim: int, *, normalize_embeddings: bool = True,
                  mesh=None, block_size: int = 128, dtype=jnp.bfloat16,
-                 kernel: str = "blockmax", slab_size: int = 1 << 20):
+                 kernel: str = "blockmax", slab_size: int = 1 << 20,
+                 quantize: Optional[str] = None):
         """kernel: 'blockmax' (XLA two-phase, any k — the measured-fastest
         path, docs/PERF.md) or 'pallas' (streaming fused kernel, k <= 16,
         single-device — ops/pallas/mips.py).
 
         slab_size: max docs scored per matmul. Shards larger than this scan
         slab-by-slab with an on-device running merge, so a shard bigger than
-        the HBM budget for its (Q, shard) score matrix still works."""
+        the HBM budget for its (Q, shard) score matrix still works.
+
+        quantize: "int8" stores the corpus as per-row symmetric int8 + fp32
+        row scales — HALF the HBM of bf16 (10M × 768 ≈ 7.7 GB fits one 16 GB
+        chip where bf16's 15.4 GB does not) and roughly doubles the
+        bandwidth-bound scan; the score matmul runs int8×int8 on the MXU's
+        double-rate path with fp32 dequantization before the top-k filter
+        (ops/topk.blockmax_topk corpus_scale). Recall vs bf16 >= 0.99 on
+        normalized embeddings (tests/test_index.py)."""
         self.dim = dim
         self.normalize = normalize_embeddings
         self.mesh = mesh
@@ -47,29 +56,51 @@ class DenseIndex:
         self.slab_size = _round_up(max(slab_size, block_size), block_size)
         self.dtype = dtype
         self.kernel = kernel
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}; "
+                             "supported: 'int8'")
+        if kernel == "pallas" and quantize is not None:
+            raise ValueError("the pallas streaming kernel scores float tiles; "
+                             "use kernel='blockmax' with quantize='int8'")
+        self.quantize = quantize
         if kernel == "pallas" and mesh is not None:
             raise ValueError("pallas kernel is single-device; use blockmax with a mesh")
         self._chunks: List[np.ndarray] = []
+        self._scale_chunks: List[np.ndarray] = []
         self._ids: List[str] = []
         self._corpus = None       # device array after build()
-        self._count = 0
+        self._scales = None       # (N,) fp32 device array when quantized
+        self._count = 0           # total valid docs (built + pending)
+        self._built_count = 0     # docs inside the built device corpus
         self._search_fn = None
         self._slab_eff = self.slab_size   # set per corpus by _padded_size
+        # post-build incremental adds stage here until the next build()
+        self._pending_arr = None
+        self._pending_scales = None
+        self._pending_count = 0
+        self._pending_dirty = False
 
     # ------------------------------------------------------------------
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
-        if self._corpus is not None:
-            raise RuntimeError(
-                "add() after build(): built vectors were consumed — create a "
-                "new DenseIndex (incremental growth is a future extension)")
+        """Add embeddings. Before build(): accumulate. After build(): docs
+        join a PENDING slab that search scans alongside the built corpus
+        (host-staged, exact); the next build() merges it into the main
+        static-shape corpus. Serving keeps answering between the two."""
         emb = np.asarray(embeddings, np.float32)
         if self.normalize:
             emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True),
                                 1e-12, None)
-        start = sum(c.shape[0] for c in self._chunks)
+        start = self._count
+        if self.quantize == "int8":
+            scale = np.clip(np.abs(emb).max(axis=1), 1e-12, None) / 127.0
+            self._scale_chunks.append(scale.astype(np.float32))
+            emb = np.round(emb / scale[:, None]).astype(np.int8)
         self._chunks.append(emb)
         self._ids.extend(ids if ids is not None
                          else (str(start + i) for i in range(emb.shape[0])))
+        self._count += emb.shape[0]
+        if self._corpus is not None:
+            self._pending_dirty = True
 
     @classmethod
     def from_device_embeddings(cls, corpus: jax.Array,
@@ -83,6 +114,7 @@ class DenseIndex:
         idx = cls(dim, mesh=mesh, normalize_embeddings=normalize_embeddings,
                   block_size=block_size, dtype=corpus.dtype)
         idx._count = n
+        idx._built_count = n
         idx._ids = list(ids) if ids is not None else [str(i) for i in range(n)]
         n_dev = mesh.shape["dp"] if mesh is not None else 1
         n_pad = idx._padded_size(n, n_dev)
@@ -120,20 +152,56 @@ class DenseIndex:
         return n_pad
 
     def build(self):
-        """Pad to static shape and place on device(s)."""
-        emb = np.concatenate(self._chunks, axis=0) if self._chunks else \
-            np.zeros((0, self.dim), np.float32)
+        """Pad to static shape and place on device(s).
+
+        Rebuild semantics: if a corpus is already built and docs were added
+        since, the valid built rows fetch back to host ONCE and merge with
+        the pending docs into a fresh static-shape corpus (the amortized
+        slow path; between builds, search scans built + pending exactly)."""
+        host_dtype = np.int8 if self.quantize == "int8" else np.float32
+        chunks = list(self._chunks)
+        scale_chunks = list(self._scale_chunks)
+        if self._corpus is not None:
+            if not chunks:
+                return self  # nothing pending
+            built = np.asarray(self._corpus[: self._built_count])
+            chunks.insert(0, built.astype(host_dtype))
+            if self.quantize == "int8":
+                scale_chunks.insert(
+                    0, np.asarray(self._scales[: self._built_count],
+                                  np.float32))
+        emb = (np.concatenate(chunks, axis=0) if chunks
+               else np.zeros((0, self.dim), host_dtype))
         self._count = emb.shape[0]
+        self._built_count = self._count
         n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
         n_pad = self._padded_size(self._count, n_dev)
-        padded = np.zeros((n_pad, self.dim), np.float32)
+        padded = np.zeros((n_pad, self.dim), host_dtype)
         padded[: self._count] = emb
-        arr = jnp.asarray(padded, self.dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            arr = jax.device_put(arr, NamedSharding(self.mesh, P("dp", None)))
+            row_sharding = NamedSharding(self.mesh, P("dp", None))
+            scale_sharding = NamedSharding(self.mesh, P("dp"))
+        if self.quantize == "int8":
+            arr = jnp.asarray(padded)          # int8 stays int8 on device
+            scales = np.ones((n_pad,), np.float32)  # pad rows: harmless scale
+            if scale_chunks:
+                cat = np.concatenate(scale_chunks)
+                scales[: self._count] = cat
+            sc = jnp.asarray(scales)
+            if self.mesh is not None:
+                arr = jax.device_put(arr, row_sharding)
+                sc = jax.device_put(sc, scale_sharding)
+            self._scales = sc
+        else:
+            arr = jnp.asarray(padded, self.dtype)
+            if self.mesh is not None:
+                arr = jax.device_put(arr, row_sharding)
         self._corpus = arr
         self._chunks = []
+        self._scale_chunks = []
+        self._pending_arr = None
+        self._pending_scales = None
         self._search_fn = self._make_search_fn()
         return self
 
@@ -147,26 +215,28 @@ class DenseIndex:
                 tile = 2048 if n % 2048 == 0 else block_size
 
                 def search(queries, k: int):
-                    return mips_topk(queries, self._corpus, self._count, k=k,
-                                     tile_n=tile)
+                    return mips_topk(queries, self._corpus, self._built_count,
+                                     k=k, tile_n=tile)
                 return search
 
             def search(queries, k: int):
-                return blockmax_topk(queries, self._corpus, self._count, k=k,
-                                     block_size=block_size,
-                                     slab_size=self._slab_eff)
+                return blockmax_topk(queries, self._corpus, self._built_count,
+                                     k=k, block_size=block_size,
+                                     slab_size=self._slab_eff,
+                                     corpus_scale=self._scales)
             return search
 
         mesh = self.mesh
         n_dev = mesh.shape["dp"]
         shard_n = self._corpus.shape[0] // n_dev
-        count = self._count
+        count = self._built_count
         # _padded_size guarantees shard_n tiles by _slab_eff; keep the
         # whole-shard fallback for defense (blockmax_topk does the same)
         slab = self._slab_eff if shard_n % self._slab_eff == 0 else shard_n
         from jax.sharding import PartitionSpec as P
+        quantized = self.quantize == "int8"
 
-        def shard_search(queries, corpus_shard, k: int):
+        def shard_search(queries, corpus_shard, scale_shard, k: int):
             """Runs per device: local exact top-k (slab-scanned when the shard
             exceeds slab_size, so (Q, shard) scores never materialize), then
             ICI-merge."""
@@ -174,7 +244,8 @@ class DenseIndex:
             base = rank * shard_n
             local_valid = jnp.clip(count - base, 0, shard_n)
             vals, idx = blockmax_topk(queries, corpus_shard, local_valid, k=k,
-                                      block_size=block_size, slab_size=slab)
+                                      block_size=block_size, slab_size=slab,
+                                      corpus_scale=scale_shard)
             idx = idx + base
             # gather all shards' candidates: (n_dev*k) per query, then top-k.
             all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)
@@ -186,8 +257,14 @@ class DenseIndex:
         def search(queries, k: int):
             # check_vma off: outputs ARE replicated (same all_gather + top_k on
             # every device) but the varying-axis checker can't infer that
+            if quantized:
+                fn = jax.shard_map(
+                    partial(shard_search, k=k), mesh=mesh,
+                    in_specs=(P(None, None), P("dp", None), P("dp")),
+                    out_specs=(P(), P()), check_vma=False)
+                return fn(queries, self._corpus, self._scales)
             fn = jax.shard_map(
-                partial(shard_search, k=k), mesh=mesh,
+                lambda q, c: shard_search(q, c, None, k=k), mesh=mesh,
                 in_specs=(P(None, None), P("dp", None)),
                 out_specs=(P(), P()), check_vma=False)
             return fn(queries, self._corpus)
@@ -195,6 +272,33 @@ class DenseIndex:
         return search
 
     # ------------------------------------------------------------------
+    def _search_pending(self, qd, k: int):
+        """Exact top-k over the post-build pending docs (same kernel, small
+        slab). The slab pads to a power-of-two multiple of block_size so the
+        jit compile count stays logarithmic in pending growth."""
+        if self._pending_arr is None or self._pending_dirty:
+            host_dtype = np.int8 if self.quantize == "int8" else np.float32
+            pend = np.concatenate(self._chunks, axis=0)
+            n = pend.shape[0]
+            blocks = -(-n // self.block_size)
+            n_pad = self.block_size * (1 << max(0, (blocks - 1).bit_length()))
+            padded = np.zeros((n_pad, self.dim), host_dtype)
+            padded[:n] = pend
+            if self.quantize == "int8":
+                scales = np.ones((n_pad,), np.float32)
+                scales[:n] = np.concatenate(self._scale_chunks)
+                self._pending_scales = jnp.asarray(scales)
+                self._pending_arr = jnp.asarray(padded)
+            else:
+                self._pending_arr = jnp.asarray(padded, self.dtype)
+            self._pending_count = n
+            self._pending_dirty = False
+        vals, idx = blockmax_topk(qd, self._pending_arr, self._pending_count,
+                                  k=k, block_size=self.block_size,
+                                  slab_size=self.slab_size,
+                                  corpus_scale=self._pending_scales)
+        return np.asarray(vals, np.float32), np.asarray(idx)
+
     def search_embeddings(self, query_embeddings, k: int = 10
                           ) -> Tuple[List[np.ndarray], List[List[str]]]:
         """(per-query score arrays, per-query doc-id lists), original order.
@@ -217,6 +321,15 @@ class DenseIndex:
         k = min(k, self._count)
         vals, idx = self._search_fn(qd, k)
         vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
+        if self._chunks:
+            # docs added after build(): scan the pending slab too (exact same
+            # kernel, small static-shape slab) and merge candidates host-side.
+            p_vals, p_idx = self._search_pending(qd, k)
+            vals = np.concatenate([vals, p_vals], axis=1)
+            idx = np.concatenate([idx, p_idx + self._built_count], axis=1)
+            order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+            vals = np.take_along_axis(vals, order, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
         # -inf filler slots (masked padding) carry index 0 — trim scores AND
         # ids together so row-wise zip stays aligned
         finite = vals > -1e29

@@ -186,3 +186,103 @@ def test_dot_mode_no_normalize():
     want = np.argsort(-(queries @ corpus.T), axis=1)[:, :5]
     for qi in range(3):
         assert set(map(int, ids[qi])) == set(want[qi].tolist())
+
+
+# ---------------------------------------------------------------- int8 corpus
+def _recall(got_ids, want_rows, all_ids):
+    hits = total = 0
+    for qi, row in enumerate(want_rows):
+        want = {all_ids[j] for j in row}
+        hits += len(want & set(got_ids[qi]))
+        total += len(want)
+    return hits / total
+
+
+def test_int8_corpus_recall_vs_bf16():
+    """quantize='int8': half the corpus HBM; recall@10 vs exact fp32 >= 0.99
+    on normalized embeddings (the 10M-docs-on-one-chip serving lever)."""
+    corpus, queries = _data(n=4096, d=64, q=32, seed=11)
+    want = _brute_cosine(queries, corpus, 10)
+
+    idx = DenseIndex(64, quantize="int8")
+    idx.add(corpus)
+    idx.build()
+    assert idx._corpus.dtype == jax.numpy.int8
+    _, ids = idx.search_embeddings(queries, k=10)
+    all_ids = [str(i) for i in range(4096)]
+    assert _recall(ids, want, all_ids) >= 0.99
+
+
+def test_int8_sharded_matches_int8_single():
+    corpus, queries = _data(n=1024, d=32, q=6, seed=12)
+    single = DenseIndex(32, quantize="int8")
+    single.add(corpus)
+    single.build()
+    v1, i1 = single.search_embeddings(queries, k=9)
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = DenseIndex(32, mesh=mesh, quantize="int8", slab_size=64)
+    sharded.add(corpus)
+    sharded.build()
+    v2, i2 = sharded.search_embeddings(queries, k=9)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+    for a, b in zip(i1, i2):
+        assert set(a) == set(b)
+
+
+def test_int8_rejects_pallas_kernel():
+    with pytest.raises(ValueError, match="pallas"):
+        DenseIndex(32, kernel="pallas", quantize="int8")
+
+
+# ------------------------------------------------------------ incremental add
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_incremental_add_search_add_search(quantize):
+    """add() after build(): pending docs are searchable immediately (exact),
+    and the next build() folds them into the static corpus (VERDICT r2 #8 -
+    the old index raised RuntimeError here)."""
+    corpus, queries = _data(n=600, d=32, q=5, seed=13)
+    idx = DenseIndex(32, dtype=jax.numpy.float32, quantize=quantize)
+    idx.add(corpus[:300], ids=[str(i) for i in range(300)])
+    idx.build()
+
+    # grow after build, search, grow again, search again
+    idx.add(corpus[300:450], ids=[str(i) for i in range(300, 450)])
+    assert len(idx) == 450
+    _, ids1 = idx.search_embeddings(queries, k=10)
+    want1 = _brute_cosine(queries, corpus[:450], 10)
+    all_ids = [str(i) for i in range(600)]
+    # int8 tol covers quantization near-ties at this tiny d=32 (the >=0.99
+    # recall claim is tested at realistic width in test_int8_corpus_recall)
+    tol = 1.0 if quantize is None else 0.94
+    assert _recall(ids1, want1, all_ids) >= tol
+
+    idx.add(corpus[450:], ids=[str(i) for i in range(450, 600)])
+    assert len(idx) == 600
+    _, ids2 = idx.search_embeddings(queries, k=10)
+    want2 = _brute_cosine(queries, corpus, 10)
+    assert _recall(ids2, want2, all_ids) >= tol
+
+    # rebuild folds pending into the static corpus; results unchanged
+    idx.build()
+    assert idx._built_count == 600 and not idx._chunks
+    _, ids3 = idx.search_embeddings(queries, k=10)
+    assert [list(r) for r in ids3] == [list(r) for r in ids2]
+
+
+def test_incremental_add_sharded():
+    corpus, queries = _data(n=512, d=16, q=4, seed=14)
+    mesh = make_mesh(dp=8, tp=1)
+    idx = DenseIndex(16, mesh=mesh, dtype=jax.numpy.float32)
+    idx.add(corpus[:256])
+    idx.build()
+    idx.add(corpus[256:], ids=[str(i) for i in range(256, 512)])
+    _, ids = idx.search_embeddings(queries, k=8)
+    want = _brute_cosine(queries, corpus, 8)
+    all_ids = [str(i) for i in range(512)]
+    assert _recall(ids, want, all_ids) == 1.0
+    # rebuild on the mesh merges and re-shards
+    idx.build()
+    assert idx._built_count == 512
+    _, ids2 = idx.search_embeddings(queries, k=8)
+    assert [list(r) for r in ids2] == [list(r) for r in ids]

@@ -1,0 +1,148 @@
+"""10M-doc serving point on ONE chip via the int8 corpus (BASELINE.json
+north star: <50ms p50 over 10M docs).
+
+bf16 × 10M × 768 = 15.4 GB does not fit this chip's 16 GB HBM; int8 ≈ 7.7 GB
+does. Measures build, p50/p95 query latency at k=100 (Q=1 and Q=8), the
+bandwidth-implied scan rate, and exact recall@10 against a host fp32 oracle
+on a query sample.
+
+    python tools/bench_index_10m.py [--docs 10000000] [--dim 768]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def _timed(f, *a):
+    import time as _t
+    t0 = _t.perf_counter()
+    float(f(*a))  # host fetch = true sync on the relay
+    return _t.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=10_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--chunk", type=int, default=500_000)
+    ap.add_argument("--oracle-queries", type=int, default=4)
+    ap.add_argument("--cache", default="/tmp/bench10m_corpus.npz",
+                    help="int8 corpus cache so reruns skip the ~19-min "
+                         "host-side generation ('' disables)")
+    args = ap.parse_args()
+
+    import jax
+    from sgpt_tpu.index import DenseIndex
+
+    print(f"backend={jax.default_backend()} docs={args.docs} dim={args.dim}")
+    rng = np.random.default_rng(0)
+    queries = rng.normal(size=(8, args.dim)).astype(np.float32)
+    oq = queries[: args.oracle_queries]
+    oq_n = oq / np.linalg.norm(oq, axis=1, keepdims=True)
+
+    idx = DenseIndex(args.dim, quantize="int8")
+    t0 = time.perf_counter()
+    import os
+    if args.cache and os.path.exists(args.cache):
+        z = np.load(args.cache)
+        assert z["q8"].shape == (args.docs, args.dim), "cache shape mismatch"
+        # feed pre-quantized rows straight into the index internals
+        idx._chunks = [z["q8"]]
+        idx._scale_chunks = [z["scales"]]
+        idx._ids = [str(i) for i in range(args.docs)]
+        idx._count = args.docs
+        best_vals, best_idx = z["oracle_vals"], z["oracle_idx"]
+        print(f"loaded corpus cache {args.cache}")
+    else:
+        # keep fp32 chunks transient; the index stores int8 + per-row scale
+        best_vals = np.full((len(oq), 10), -np.inf, np.float32)
+        best_idx = np.zeros((len(oq), 10), np.int64)
+        for s in range(0, args.docs, args.chunk):
+            n = min(args.chunk, args.docs - s)
+            chunk = rng.normal(size=(n, args.dim)).astype(np.float32)
+            chunk /= np.linalg.norm(chunk, axis=1, keepdims=True)
+            idx.add(chunk)
+            # host oracle on the same (normalized) chunk
+            sc = oq_n @ chunk.T
+            cat_v = np.concatenate([best_vals, sc], axis=1)
+            cat_i = np.concatenate(
+                [best_idx, np.broadcast_to(np.arange(s, s + n), (len(oq), n))],
+                axis=1)
+            ord_ = np.argsort(-cat_v, axis=1)[:, :10]
+            best_vals = np.take_along_axis(cat_v, ord_, axis=1)
+            best_idx = np.take_along_axis(cat_i, ord_, axis=1)
+        if args.cache:
+            np.savez(args.cache,
+                     q8=np.concatenate(idx._chunks),
+                     scales=np.concatenate(idx._scale_chunks),
+                     oracle_vals=best_vals, oracle_idx=best_idx)
+    t_gen = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.build()
+    t_build = time.perf_counter() - t0
+    hbm_gb = idx._corpus.nbytes / 1e9
+    print(f"generated+added in {t_gen:.1f}s; build (incl. H2D of "
+          f"{hbm_gb:.2f} GB int8) {t_build:.1f}s")
+
+    # recall vs fp32 oracle
+    _, got = idx.search_embeddings(oq, k=10)
+    hits = sum(len(set(got[i]) & {str(j) for j in best_idx[i]})
+               for i in range(len(oq)))
+    recall = hits / (10 * len(oq))
+    print(f"recall@10 vs fp32 oracle ({len(oq)} queries): {recall:.3f}")
+
+    import jax
+    import jax.numpy as jnp
+    for Q in (1, 8):
+        qs = queries[:Q]
+        idx.search_embeddings(qs, k=args.k)  # compile + warm
+        lats = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            idx.search_embeddings(qs, k=args.k)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats = np.sort(lats)
+        p50 = lats[len(lats) // 2]
+        p95 = lats[int(len(lats) * 0.95)]
+        scan_gbps = idx._corpus.nbytes / (p50 / 1e3) / 1e9
+        print(f"Q={Q} k={args.k}: p50 {p50:.1f} ms  p95 {p95:.1f} ms  "
+              f"min {lats[0]:.1f} ms  (int8 scan ~{scan_gbps:.0f} GB/s)")
+
+        # DEVICE-ONLY search time: chain 8 searches inside one jit so the
+        # dev relay's ~30 ms per-dispatch RPC amortizes out (bench.py uses
+        # the same technique; production serving doesn't pay a relay hop).
+        # Corpus/scales pass as EXPLICIT args — a closure would capture
+        # 7.7 GB as an HLO constant and double HBM.
+        from functools import partial
+        from sgpt_tpu.ops.topk import blockmax_topk
+        R = 8
+        qd = jnp.asarray(qs, idx.dtype)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def chained(q0, corpus, scales, k):
+            def step(acc, i):
+                v, _ = blockmax_topk(jnp.roll(q0, i, axis=1), corpus,
+                                     idx._built_count, k=k,
+                                     block_size=idx.block_size,
+                                     slab_size=idx._slab_eff,
+                                     corpus_scale=scales)
+                return acc + jnp.sum(v), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0),
+                                  jnp.arange(R, dtype=jnp.int32))
+            return acc
+        float(chained(qd, idx._corpus, idx._scales, args.k))
+        dev = min(_timed(chained, jnp.roll(qd, r, axis=0), idx._corpus,
+                         idx._scales, args.k)
+                  for r in range(3)) / R * 1e3
+        print(f"Q={Q} k={args.k}: device-only {dev:.1f} ms/search "
+              f"(chained x{R}; scan ~{idx._corpus.nbytes / dev / 1e6:.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()
