@@ -1,0 +1,100 @@
+"""Serve embeddings + semantic search over HTTP from one TPU process.
+
+    python -m sgpt_tpu.cli.serve --modelname gpt-neo-125m --randominit \
+        --port 8080 --corpus corpus.jsonl --quantize-index int8
+
+No reference counterpart (the reference only *calls* such an API —
+SURVEY.md L-last row); this is the deployment entry of the framework:
+the process owns the chip(s), HTTP threads feed a micro-batching
+dispatcher (serving.py), and the index answers from HBM (int8 corpus puts
+10M x 768 docs on one 16 GB chip — docs/PERF.md).
+
+corpus.jsonl rows: {"_id": ..., "title": ..., "text": ...} (BEIR shape) or
+{"id": ..., "text": ...}; omit --corpus to start empty and POST /documents.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+from .common import add_mesh_args, build_mesh, build_model, maybe_shard, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def load_jsonl_corpus(path: str):
+    """(ids, texts) from a BEIR-shaped jsonl file (title + text joined like
+    the BEIR drivers join them, beir_dense_retriever.py:332-336)."""
+    ids, texts = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            doc_id = str(row.get("_id", row.get("id", len(ids))))
+            title = row.get("title", "")
+            text = row.get("text", "")
+            ids.append(doc_id)
+            texts.append((title + " " + text).strip() if title else text)
+    return ids, texts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--modelname", required=True)
+    ap.add_argument("--randominit", action="store_true",
+                    help="random weights (zero-egress smoke serving)")
+    ap.add_argument("--method", default="weightedmean")
+    ap.add_argument("--specb", action="store_true")
+    ap.add_argument("--maxseqlen", type=int, default=300)
+    ap.add_argument("--batchsize", type=int, default=64)
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 model weights (>=1B models, ~1.5x encode)")
+    ap.add_argument("--quantize-index", choices=["int8"], default=None,
+                    help="int8 corpus storage (10M docs on one chip)")
+    ap.add_argument("--corpus", default=None, help="jsonl corpus to index at start")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-wait-ms", type=float, default=3.0,
+                    help="micro-batcher coalescing window")
+    add_mesh_args(ap)
+    args = ap.parse_args(argv)
+
+    setup_logging()
+    from ..encoder import EmbeddingEngine
+    from ..index import DenseIndex
+    from ..serving import SearchService, make_server
+
+    params, cfg, tokenizer = build_model(args.modelname, random_init=args.randominit)
+    mesh = build_mesh(args)
+    params = maybe_shard(params, mesh)
+    engine = EmbeddingEngine(
+        params, cfg, tokenizer, method=args.method, specb=args.specb,
+        max_seq_len=args.maxseqlen, batch_size=args.batchsize,
+        normalize_embeddings=True, mesh=mesh, quantize=args.quantize)
+    index = DenseIndex(engine.out_dim, normalize_embeddings=True, mesh=mesh,
+                       quantize=args.quantize_index)
+    service = SearchService(engine, index, max_wait_ms=args.max_wait_ms)
+
+    if args.corpus:
+        ids, texts = load_jsonl_corpus(args.corpus)
+        logger.info("indexing %d docs from %s ...", len(texts), args.corpus)
+        service.add_documents(texts, ids=ids, build=True)
+
+    server = make_server(service, args.host, args.port, model_name=args.modelname)
+    logger.info("serving %s on http://%s:%d (docs=%d)", args.modelname,
+                *server.server_address[:2], len(index))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -340,6 +340,16 @@ class DenseIndex:
     def __len__(self) -> int:
         return self._count
 
+    @property
+    def is_built(self) -> bool:
+        """True once build() has placed a searchable corpus on device."""
+        return self._corpus is not None
+
+    @property
+    def pending_docs(self) -> int:
+        """Docs added since the last build() (scanned via the pending slab)."""
+        return self._count - self._built_count
+
 
 def index_corpus(engine, corpus, *, mesh=None, batch_docs: int = 50_000,
                  normalize_embeddings: bool = True, **index_kw) -> DenseIndex:

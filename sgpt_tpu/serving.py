@@ -1,0 +1,362 @@
+"""Production serving: dynamic micro-batching + HTTP endpoints over the engine.
+
+No reference counterpart — the reference is a research codebase whose only
+"API" is the OpenAI endpoint it *calls* (SURVEY.md §0;
+biencoder/beir/beir_openai_embeddings_batched_parallel.py:193-266). This layer
+is the deployment half the framework is built for, designed around how a TPU
+is actually served: ONE process owns the chip(s); HTTP handler threads never
+touch the device — they enqueue into a `MicroBatcher` whose single dispatcher
+thread coalesces concurrent small requests into the engine's token-budget
+batches, so the MXU sees large dispatches even when every client sends one
+sentence. Compare the reference's serving-free story where each
+`model.encode()` caller owns the GPU for the duration of its own (possibly
+tiny) batch.
+
+Endpoints (stdlib `http.server`, JSON bodies):
+
+  POST /v1/embeddings   OpenAI embeddings wire shape ({"input": str|[str]})
+                        — anything written against that API (including this
+                        repo's own `baselines/openai_client.py`) can point
+                        its base_url at this server.
+  POST /search          {"queries": [...], "k": 10, "return_documents": bool}
+  POST /documents       add documents to the live index (pending-slab adds:
+                        serving keeps answering; POST /rebuild merges)
+  POST /rebuild         merge pending docs into the static-shape corpus
+  GET  /healthz, /stats
+
+Thread model: N handler threads (ThreadingHTTPServer) → 2 dispatcher threads
+(query / document encodes batch independently because SPECB brackets differ)
+→ the device. Index mutation and search serialize on one lock; encoding does
+not (jit dispatch is thread-safe, and the two batchers keep device work
+coarse-grained).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .index import DenseIndex
+
+logger = logging.getLogger(__name__)
+
+
+class _Request:
+    __slots__ = ("items", "future")
+
+    def __init__(self, items):
+        self.items = list(items)
+        self.future = Future()
+
+
+class MicroBatcher:
+    """Coalesce concurrent submissions into single calls of a batch function.
+
+    `fn` receives ONE concatenated list per dispatch and must return results
+    indexable per item (list/array, same length, same order). Submissions
+    arriving while a dispatch is on the device ride the next dispatch — the
+    classic serving pattern the reference lacks entirely (every
+    `SentenceTransformer.encode` caller dispatches its own batch).
+
+    max_wait_ms bounds the added latency for a lone request; max_items bounds
+    the coalesced batch (one oversized submission still processes whole — the
+    engine token-budget-batches internally).
+    """
+
+    def __init__(self, fn, *, max_items: int = 1024, max_wait_ms: float = 3.0,
+                 name: str = "batcher"):
+        self._fn = fn
+        self.max_items = max_items
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self.dispatches = 0
+        self.items_processed = 0
+        self._thread = threading.Thread(target=self._loop, name=name, daemon=True)
+        self._thread.start()
+
+    def submit(self, items: Sequence) -> Future:
+        """Future resolving to the per-item results for `items` (in order)."""
+        req = _Request(items)
+        if not req.items:
+            req.future.set_result([])
+            return req.future
+        self._q.put(req)
+        return req.future
+
+    def __call__(self, items: Sequence):
+        return self.submit(items).result()
+
+    def _loop(self):
+        while True:
+            req = self._q.get()
+            if req is None:
+                return
+            batch = [req]
+            n = len(req.items)
+            deadline = time.monotonic() + self.max_wait
+            while n < self.max_items:
+                remaining = deadline - time.monotonic()
+                try:
+                    # budget spent → take only what is already queued
+                    nxt = (self._q.get(timeout=remaining) if remaining > 0
+                           else self._q.get_nowait())
+                except queue.Empty:
+                    break
+                if nxt is None:  # close() while coalescing: flush, then exit
+                    self._q.put(None)
+                    break
+                batch.append(nxt)
+                n += len(nxt.items)
+            all_items: List = []
+            for r in batch:
+                all_items.extend(r.items)
+            try:
+                results = self._fn(all_items)
+            except Exception as e:  # propagate to every waiter, keep serving
+                logger.exception("micro-batch dispatch failed (%d items)", n)
+                for r in batch:
+                    r.future.set_exception(e)
+                continue
+            self.dispatches += 1
+            self.items_processed += n
+            off = 0
+            for r in batch:
+                r.future.set_result(results[off:off + len(r.items)])
+                off += len(r.items)
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+
+class SearchService:
+    """Embed / index / search facade the HTTP layer (or any host app) drives.
+
+    Wraps an `EmbeddingEngine` (queries and documents coalesce through
+    separate micro-batchers — SPECB gives them different token streams) and a
+    `DenseIndex` whose pending-slab `add` keeps search exact between
+    rebuilds. `documents` retains id → text for `return_documents=True`.
+    """
+
+    def __init__(self, engine, index: Optional[DenseIndex] = None, *,
+                 documents: Optional[Dict[str, str]] = None,
+                 max_batch_items: int = 1024, max_wait_ms: float = 3.0,
+                 index_kw: Optional[dict] = None):
+        self.engine = engine
+        self.index = index if index is not None else DenseIndex(
+            engine.out_dim, normalize_embeddings=True, **(index_kw or {}))
+        self.documents: Dict[str, str] = dict(documents or {})
+        self._lock = threading.RLock()
+        self._t0 = time.monotonic()
+        self._queries_served = 0
+        self._q_batcher = MicroBatcher(
+            lambda t: engine.encode(list(t), is_query=True),
+            max_items=max_batch_items, max_wait_ms=max_wait_ms, name="enc-query")
+        self._d_batcher = MicroBatcher(
+            lambda t: engine.encode(list(t), is_query=False),
+            max_items=max_batch_items, max_wait_ms=max_wait_ms, name="enc-doc")
+
+    # -- embedding ----------------------------------------------------------
+    def embed(self, texts: Sequence[str], *, is_query: bool = False) -> np.ndarray:
+        batcher = self._q_batcher if is_query else self._d_batcher
+        return np.asarray(batcher(list(texts)))
+
+    def count_tokens(self, texts: Sequence[str]) -> int:
+        tok = self.engine.tokenizer
+        return sum(len(tok.encode(t)) for t in texts)
+
+    # -- documents ----------------------------------------------------------
+    def add_documents(self, texts: Sequence[str],
+                      ids: Optional[Sequence[str]] = None, *,
+                      build: bool = False) -> List[str]:
+        if ids is not None and len(ids) != len(texts):
+            raise ValueError(f"{len(ids)} ids for {len(texts)} texts")
+        emb = self.embed(texts, is_query=False)
+        with self._lock:
+            if ids is None:
+                base = len(self.index)
+                ids = [str(base + i) for i in range(len(texts))]
+            dup = [i for i in ids if i in self.documents]
+            if dup:
+                raise ValueError(f"duplicate document ids: {dup[:5]}")
+            self.index.add(emb, ids=list(ids))
+            for i, t in zip(ids, texts):
+                self.documents[i] = t
+            if build or not self.index.is_built:
+                self.index.build()
+        return list(ids)
+
+    def rebuild(self) -> int:
+        with self._lock:
+            self.index.build()
+            return len(self.index)
+
+    # -- search -------------------------------------------------------------
+    def search(self, queries: Sequence[str], *, k: int = 10,
+               return_documents: bool = False) -> List[List[dict]]:
+        q_emb = self.embed(queries, is_query=True)
+        with self._lock:
+            scores, ids = self.index.search_embeddings(q_emb, k=k)
+            self._queries_served += len(queries)
+            out = []
+            for row_s, row_i in zip(scores, ids):
+                hits = []
+                for s, i in zip(row_s, row_i):
+                    hit = {"id": i, "score": float(s)}
+                    if return_documents:
+                        hit["document"] = self.documents.get(i)
+                    hits.append(hit)
+                out.append(hits)
+        return out
+
+    # -- misc ---------------------------------------------------------------
+    def stats(self) -> dict:
+        with self._lock:
+            pending = self.index.pending_docs
+            return {
+                "documents": len(self.index),
+                "pending_docs": pending,
+                "queries_served": self._queries_served,
+                "uptime_s": round(time.monotonic() - self._t0, 1),
+                "embed_dispatches": (self._q_batcher.dispatches
+                                     + self._d_batcher.dispatches),
+                "embed_items": (self._q_batcher.items_processed
+                                + self._d_batcher.items_processed),
+                "out_dim": self.engine.out_dim,
+            }
+
+    def close(self):
+        self._q_batcher.close()
+        self._d_batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+class _Handler(BaseHTTPRequestHandler):
+    service: SearchService  # set by make_server on the subclass
+    model_name: str = "sgpt-tpu"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    # -- plumbing -----------------------------------------------------------
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(n) if n else b"{}"
+        obj = json.loads(raw.decode())
+        if not isinstance(obj, dict):
+            raise ValueError("request body must be a JSON object")
+        return obj
+
+    # -- routes -------------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok"})
+        elif self.path == "/stats":
+            self._send(200, self.service.stats())
+        else:
+            self._send(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        try:
+            body = self._read_json()
+        except Exception as e:
+            self._send(400, {"error": f"bad JSON body: {e}"})
+            return
+        try:
+            if self.path == "/v1/embeddings":
+                self._send(200, self._embeddings(body))
+            elif self.path == "/search":
+                self._send(200, self._search(body))
+            elif self.path == "/documents":
+                self._send(200, self._documents(body))
+            elif self.path == "/rebuild":
+                self._send(200, {"documents": self.service.rebuild()})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except (ValueError, TypeError, KeyError) as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:
+            logger.exception("request failed: %s", self.path)
+            self._send(500, {"error": str(e)})
+
+    def _embeddings(self, body: dict) -> dict:
+        """OpenAI `/v1/embeddings` wire shape (the reference's client format,
+        beir_openai_embeddings_batched_parallel.py:193-266): `input` is a
+        string or list of strings; response carries index-aligned `data` and
+        a token `usage` block. `is_query` is our extension (SPECB routing)."""
+        inp = body.get("input")
+        if inp is None:
+            raise ValueError("missing 'input'")
+        texts = [inp] if isinstance(inp, str) else list(inp)
+        if not all(isinstance(t, str) for t in texts):
+            raise ValueError("'input' must be a string or list of strings")
+        emb = self.service.embed(texts, is_query=bool(body.get("is_query")))
+        ntok = self.service.count_tokens(texts)
+        return {
+            "object": "list",
+            "model": body.get("model", self.model_name),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": np.asarray(e, np.float64).tolist()}
+                     for i, e in enumerate(emb)],
+            "usage": {"prompt_tokens": ntok, "total_tokens": ntok},
+        }
+
+    def _search(self, body: dict) -> dict:
+        queries = body.get("queries")
+        if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries):
+            raise ValueError("'queries' must be a list of strings")
+        k = int(body.get("k", 10))
+        if k < 1:
+            raise ValueError("'k' must be >= 1")
+        results = self.service.search(
+            queries, k=k, return_documents=bool(body.get("return_documents")))
+        return {"results": results}
+
+    def _documents(self, body: dict) -> dict:
+        if "documents" in body:  # [{"id": ..., "text": ...}, ...]
+            docs = body["documents"]
+            texts = [d["text"] for d in docs]
+            ids = [str(d["id"]) for d in docs] if all("id" in d for d in docs) else None
+        else:  # {"texts": [...], "ids": [...]?}
+            texts = body.get("texts")
+            ids = body.get("ids")
+        if not isinstance(texts, list) or not all(isinstance(t, str) for t in texts):
+            raise ValueError("'documents' (id/text objects) or 'texts' "
+                             "(list of strings) required")
+        assigned = self.service.add_documents(
+            texts, ids=ids, build=bool(body.get("build")))
+        st = self.service.stats()
+        return {"added": len(assigned), "ids": assigned,
+                "documents": st["documents"], "pending_docs": st["pending_docs"]}
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 8080, *, model_name: str = "sgpt-tpu"
+                ) -> ThreadingHTTPServer:
+    """Bind a ThreadingHTTPServer for `service`; caller runs serve_forever().
+
+    port=0 binds an ephemeral port (tests); `server.server_address[1]` holds
+    the actual one.
+    """
+    handler = type("BoundHandler", (_Handler,),
+                   {"service": service, "model_name": model_name})
+    return ThreadingHTTPServer((host, port), handler)

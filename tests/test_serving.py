@@ -1,0 +1,277 @@
+"""Serving layer: micro-batcher semantics, service facade, HTTP endpoints.
+
+The HTTP tests run a real ThreadingHTTPServer on an ephemeral port and speak
+actual HTTP through http.client — the same wire a production client uses; the
+/v1/embeddings shape is additionally validated by pointing the repo's own
+OpenAI client (baselines/openai_client.py) at the server.
+"""
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from sgpt_tpu.encoder import EmbeddingEngine
+from sgpt_tpu.index import DenseIndex
+from sgpt_tpu.models import init_params, tiny
+from sgpt_tpu.serving import MicroBatcher, SearchService, make_server
+from sgpt_tpu.tokenization import SimpleTokenizer
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher
+# ---------------------------------------------------------------------------
+def test_microbatcher_results_align():
+    calls = []
+
+    def double(items):
+        calls.append(len(items))
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(double, max_wait_ms=1)
+    try:
+        assert b([1, 2, 3]) == [2, 4, 6]
+        assert b([]) == []
+        assert b.items_processed == 3
+    finally:
+        b.close()
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    """Requests arriving while a dispatch is on the 'device' ride ONE next
+    dispatch (deterministic: the first call blocks on a gate while the others
+    enqueue)."""
+    gate = threading.Event()
+    calls = []
+
+    def fn(items):
+        calls.append(sorted(items))
+        gate.wait(5)
+        return items
+
+    b = MicroBatcher(fn, max_wait_ms=200)
+    try:
+        futs = [b.submit([0])]
+        while not calls:  # first dispatch now blocked inside fn
+            time.sleep(0.005)
+        futs += [b.submit([i]) for i in (1, 2, 3)]
+        gate.set()
+        results = [f.result(timeout=5) for f in futs]
+        assert results == [[0], [1], [2], [3]]
+        assert len(calls) == 2              # 1 solo + 1 coalesced
+        assert calls[1] == [1, 2, 3]
+    finally:
+        b.close()
+
+
+def test_microbatcher_error_propagates_and_keeps_serving():
+    def fn(items):
+        if "boom" in items:
+            raise RuntimeError("boom")
+        return items
+
+    b = MicroBatcher(fn, max_wait_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            b(["boom"])
+        assert b(["ok"]) == ["ok"]          # dispatcher survived
+    finally:
+        b.close()
+
+
+def test_microbatcher_max_items_bounds_coalescing():
+    gate = threading.Event()
+    calls = []
+
+    def fn(items):
+        calls.append(len(items))
+        gate.wait(5)
+        return items
+
+    b = MicroBatcher(fn, max_items=2, max_wait_ms=200)
+    try:
+        futs = [b.submit([0])]
+        while not calls:
+            time.sleep(0.005)
+        futs += [b.submit([i]) for i in (1, 2, 3)]
+        gate.set()
+        [f.result(timeout=5) for f in futs]
+        assert calls[1:] == [2, 1]          # capped at 2, remainder next
+    finally:
+        b.close()
+
+
+# ---------------------------------------------------------------------------
+# SearchService (+ HTTP) over a real tiny engine
+# ---------------------------------------------------------------------------
+DOCS = {
+    "py": "python is a programming language",
+    "tpu": "tensor processing units accelerate matrix multiplication",
+    "sea": "the pacific ocean is the largest body of water",
+}
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    engine = EmbeddingEngine(params, cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             method="weightedmean", specb=False, batch_size=4,
+                             normalize_embeddings=True)
+    svc = SearchService(engine, DenseIndex(engine.out_dim,
+                                           normalize_embeddings=True),
+                        max_wait_ms=1.0)
+    svc.add_documents(list(DOCS.values()), ids=list(DOCS), build=True)
+    yield svc
+    svc.close()
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = make_server(service, port=0, model_name="tiny-neo")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _post(server, path, payload):
+    conn = http.client.HTTPConnection(*server.server_address[:2], timeout=30)
+    try:
+        conn.request("POST", path, json.dumps(payload),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        return r.status, json.loads(r.read().decode())
+    finally:
+        conn.close()
+
+
+def _get(server, path):
+    conn = http.client.HTTPConnection(*server.server_address[:2], timeout=30)
+    try:
+        conn.request("GET", path)
+        r = conn.getresponse()
+        return r.status, json.loads(r.read().decode())
+    finally:
+        conn.close()
+
+
+def test_search_exact_text_wins(service):
+    # identical text => identical embedding => cos = 1 tops the ranking
+    hits = service.search([DOCS["tpu"]], k=3, return_documents=True)[0]
+    assert hits[0]["id"] == "tpu"
+    assert hits[0]["document"] == DOCS["tpu"]
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-3)
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pending_add_is_searchable_before_rebuild(service):
+    service.add_documents(["a brand new document about volcanoes"], ids=["volc"])
+    assert service.stats()["pending_docs"] == 1
+    hits = service.search(["a brand new document about volcanoes"], k=1)[0]
+    assert hits[0]["id"] == "volc"
+    assert service.rebuild() == 4
+    assert service.stats()["pending_docs"] == 0
+    hits = service.search(["a brand new document about volcanoes"], k=1)[0]
+    assert hits[0]["id"] == "volc"            # still found after the merge
+
+
+def test_duplicate_ids_rejected(service):
+    with pytest.raises(ValueError, match="duplicate"):
+        service.add_documents(["x"], ids=["py"])
+
+
+def test_http_healthz_and_stats(server):
+    assert _get(server, "/healthz") == (200, {"status": "ok"})
+    status, stats = _get(server, "/stats")
+    assert status == 200 and stats["documents"] >= 3
+    assert _get(server, "/nope")[0] == 404
+
+
+def test_http_openai_embeddings_shape(server, service):
+    status, body = _post(server, "/v1/embeddings",
+                         {"input": ["hello world", "second text"]})
+    assert status == 200
+    assert body["object"] == "list" and body["model"] == "tiny-neo"
+    assert [d["index"] for d in body["data"]] == [0, 1]
+    emb = np.array(body["data"][0]["embedding"])
+    assert emb.shape == (service.engine.out_dim,)
+    assert np.linalg.norm(emb) == pytest.approx(1.0, abs=1e-2)
+    assert body["usage"]["prompt_tokens"] == 4
+
+    status, body = _post(server, "/v1/embeddings", {"input": "just a string"})
+    assert status == 200 and len(body["data"]) == 1
+
+
+def test_http_embeddings_via_repo_openai_client(server):
+    """The repo's own OpenAI client speaks to this server unmodified —
+    server and client implement the same wire format."""
+    from sgpt_tpu.baselines.openai_client import OpenAIEmbedClient
+    host, port = server.server_address[:2]
+    client = OpenAIEmbedClient(base_url=f"http://{host}:{port}/v1",
+                               api_key="unused", model="tiny-neo")
+    emb = np.asarray(client(["one", "two", "three"], is_query=True))
+    assert emb.shape[0] == 3
+    assert np.linalg.norm(emb[0]) == pytest.approx(1.0, abs=1e-2)
+
+
+def test_http_search_and_documents_roundtrip(server):
+    status, body = _post(server, "/documents", {
+        "documents": [{"id": "http-doc", "text": "added over http"}]})
+    assert status == 200 and body["added"] == 1 and body["ids"] == ["http-doc"]
+
+    status, body = _post(server, "/search",
+                         {"queries": ["added over http"], "k": 2,
+                          "return_documents": True})
+    assert status == 200
+    hits = body["results"][0]
+    assert hits[0]["id"] == "http-doc" and hits[0]["document"] == "added over http"
+
+    status, body = _post(server, "/rebuild", {})
+    assert status == 200 and body["documents"] >= 4
+
+
+def test_http_bad_requests(server):
+    assert _post(server, "/v1/embeddings", {})[0] == 400
+    assert _post(server, "/v1/embeddings", {"input": [1, 2]})[0] == 400
+    assert _post(server, "/search", {"queries": "not a list"})[0] == 400
+    assert _post(server, "/search", {"queries": ["q"], "k": 0})[0] == 400
+    assert _post(server, "/documents", {"texts": "nope"})[0] == 400
+    conn = http.client.HTTPConnection(*server.server_address[:2], timeout=30)
+    try:
+        conn.request("POST", "/search", b"{not json",
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+    finally:
+        conn.close()
+
+
+def test_concurrent_http_searches_coalesce(server, service):
+    """Many single-query clients in flight at once: all answered correctly,
+    and the encode dispatch count stays below one-per-request."""
+    before = service._q_batcher.dispatches
+    errs, results = [], {}
+
+    def one(i):
+        try:
+            status, body = _post(server, "/search",
+                                 {"queries": [DOCS["sea"]], "k": 1})
+            assert status == 200
+            results[i] = body["results"][0][0]["id"]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
+    assert all(results[i] == "sea" for i in range(12))
+    assert service._q_batcher.dispatches - before < 12
