@@ -27,6 +27,15 @@ def load_jsonl_corpus(path: str):
     """(ids, texts) from a BEIR-shaped jsonl file (title + text joined like
     the BEIR drivers join them, beir_dense_retriever.py:332-336)."""
     ids, texts = [], []
+    from ..data.jsonl_native import extract_fields
+    rows = extract_fields(path, ("_id", "id", "title", "text"))
+    if rows is not None:  # native one-pass extraction (jsonl_fields.cpp)
+        for _id, id_, title, text in rows:
+            doc_id = _id if _id is not None else id_
+            ids.append(str(doc_id) if doc_id is not None else str(len(ids)))
+            title, text = title or "", text or ""
+            texts.append((title + " " + text).strip() if title else text)
+        return ids, texts
     with open(path) as f:
         for line in f:
             line = line.strip()
