@@ -28,6 +28,7 @@ def __getattr__(name):
         "EmbeddingEngine": ("sgpt_tpu.encoder", "EmbeddingEngine"),
         "DenseRetriever": ("sgpt_tpu.retrieval", "DenseRetriever"),
         "DenseIndex": ("sgpt_tpu.index", "DenseIndex"),
+        "IVFIndex": ("sgpt_tpu.index_ivf", "IVFIndex"),
         "BM25Retriever": ("sgpt_tpu.retrieval_bm25", "BM25Retriever"),
         "CrossEncoderRanker": ("sgpt_tpu.crossencoder", "CrossEncoderRanker"),
         "YesNoRanker": ("sgpt_tpu.crossencoder", "YesNoRanker"),

@@ -64,6 +64,14 @@ def main(argv=None):
                     help="int8 model weights (>=1B models, ~1.5x encode)")
     ap.add_argument("--quantize-index", choices=["int8"], default=None,
                     help="int8 corpus storage (10M docs on one chip)")
+    ap.add_argument("--index", choices=["exact", "ivf"], default="exact",
+                    help="exact scan (batched sweeps) or balanced-IVF ANN "
+                    "(interactive latency; reads ~nprobe/clusters of the "
+                    "corpus per query)")
+    ap.add_argument("--clusters", type=int, default=1024,
+                    help="IVF cluster count")
+    ap.add_argument("--nprobe", type=int, default=32,
+                    help="IVF clusters probed per query")
     ap.add_argument("--corpus", default=None, help="jsonl corpus to index at start")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
@@ -84,8 +92,17 @@ def main(argv=None):
         params, cfg, tokenizer, method=args.method, specb=args.specb,
         max_seq_len=args.maxseqlen, batch_size=args.batchsize,
         normalize_embeddings=True, mesh=mesh, quantize=args.quantize)
-    index = DenseIndex(engine.out_dim, normalize_embeddings=True, mesh=mesh,
-                       quantize=args.quantize_index)
+    if args.index == "ivf":
+        from ..index_ivf import IVFIndex
+        if mesh is not None:
+            raise SystemExit("--index ivf is single-device for now; "
+                             "use --index exact with --dp for a mesh")
+        index = IVFIndex(engine.out_dim, n_clusters=args.clusters,
+                         nprobe=args.nprobe, normalize_embeddings=True,
+                         quantize=args.quantize_index)
+    else:
+        index = DenseIndex(engine.out_dim, normalize_embeddings=True,
+                           mesh=mesh, quantize=args.quantize_index)
     service = SearchService(engine, index, max_wait_ms=args.max_wait_ms)
 
     if args.corpus:

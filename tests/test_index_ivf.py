@@ -1,0 +1,173 @@
+"""Balanced IVF approximate index: recall, exactness limits, serving contract.
+
+Recall is measured against a numpy exact-scan oracle. The data is a gaussian
+mixture (clusterable — IVF's operating assumption); the exactness tests use
+nprobe=K where IVF must reproduce the exact top-k regardless of clustering
+quality.
+"""
+import numpy as np
+import pytest
+
+from sgpt_tpu.index import DenseIndex
+from sgpt_tpu.index_ivf import IVFIndex
+
+
+def _mixture(n, dim=32, centers=16, seed=0, spread=0.25):
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal((centers, dim))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    assign = rng.integers(0, centers, n)
+    x = mu[assign] + spread * rng.standard_normal((n, dim))
+    return x.astype(np.float32), rng
+
+
+def _exact_topk(emb, q, k):
+    """Oracle: normalized exact cosine top-k (set of row indices per query)."""
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    s = qn @ e.T
+    return [set(np.argsort(-row)[:k]) for row in s]
+
+
+def _recall(ids_lists, oracle_sets, k):
+    hit = sum(len({int(i) for i in ids} & o) for ids, o in
+              zip(ids_lists, oracle_sets))
+    return hit / (len(oracle_sets) * k)
+
+
+@pytest.fixture(scope="module")
+def mixture_index():
+    emb, rng = _mixture(4000)
+    idx = IVFIndex(32, n_clusters=32, nprobe=4, seed=0)
+    idx.add(emb)
+    idx.build()
+    q = emb[rng.integers(0, 4000, 24)] + 0.05 * rng.standard_normal((24, 32))
+    return idx, emb, q.astype(np.float32)
+
+
+def test_recall_on_clusterable_data(mixture_index):
+    idx, emb, q = mixture_index
+    oracle = _exact_topk(emb, q, 10)
+    scores, ids = idx.search_embeddings(q, k=10, nprobe=4)
+    assert _recall(ids, oracle, 10) >= 0.9       # 4/32 clusters probed
+    scores, ids = idx.search_embeddings(q, k=10, nprobe=16)
+    assert _recall(ids, oracle, 10) >= 0.99
+    for row in scores:                            # descending, finite
+        assert list(row) == sorted(row, reverse=True)
+        assert np.isfinite(row).all()
+
+
+def test_nprobe_all_is_exact(mixture_index):
+    """Probing every cluster must reproduce the exact top-k: balanced layout
+    + overflow slab never drop a document."""
+    idx, emb, q = mixture_index
+    oracle = _exact_topk(emb, q, 10)
+    _, ids = idx.search_embeddings(q, k=10, nprobe=32)
+    assert _recall(ids, oracle, 10) >= 0.999
+
+    dense = DenseIndex(32, normalize_embeddings=True, dtype=np.float32)
+    dense.add(emb)
+    dense.build()
+    d_scores, d_ids = dense.search_embeddings(q, k=10)
+    i_scores, i_ids = idx.search_embeddings(q, k=10, nprobe=32)
+    for a, b in zip(d_scores, i_scores):
+        np.testing.assert_allclose(a, b, atol=2e-2)  # bf16 block storage
+
+
+def test_overflow_spill_preserves_membership():
+    """pad_factor < 1 forces heavy spill; nprobe=K search stays exact because
+    spilled docs live in the always-scanned overflow slab."""
+    emb, rng = _mixture(1000, seed=1)
+    idx = IVFIndex(32, n_clusters=8, pad_factor=0.5, seed=1)
+    idx.add(emb)
+    idx.build()
+    assert idx._overflow_count > 0               # the spill actually happened
+    q = emb[:8]
+    oracle = _exact_topk(emb, q, 5)
+    _, ids = idx.search_embeddings(q, k=5, nprobe=8)
+    assert _recall(ids, oracle, 5) >= 0.999
+
+
+def test_int8_blocks_close_to_float():
+    emb, rng = _mixture(2000, seed=2)
+    q = emb[rng.integers(0, 2000, 16)].astype(np.float32)
+    oracle = _exact_topk(emb, q, 10)
+    idx = IVFIndex(32, n_clusters=16, quantize="int8", seed=2)
+    idx.add(emb)
+    idx.build()
+    _, ids = idx.search_embeddings(q, k=10, nprobe=16)
+    # dim=32 is the WORST case for per-row int8 (relative error ~ 1/(127·√D));
+    # at embedding dims (768+) DenseIndex's int8 recall tests hold >= 0.99
+    assert _recall(ids, oracle, 10) >= 0.95
+
+
+def test_pending_add_then_rebuild():
+    emb, rng = _mixture(1000, seed=3)
+    idx = IVFIndex(32, n_clusters=8, nprobe=8, seed=3)
+    idx.add(emb, ids=[f"d{i}" for i in range(1000)])
+    idx.build()
+    new = rng.standard_normal((5, 32)).astype(np.float32) + 3.0
+    idx.add(new, ids=[f"new{i}" for i in range(5)])
+    assert idx.pending_docs == 5 and len(idx) == 1005
+    # pending docs findable before rebuild (exact pending scan)
+    _, ids = idx.search_embeddings(new[:2], k=1)
+    assert ids[0] == ["new0"] and ids[1] == ["new1"]
+    idx.build()                                   # merge-recluster
+    assert idx.pending_docs == 0 and len(idx) == 1005
+    _, ids = idx.search_embeddings(new[:2], k=1)
+    assert ids[0] == ["new0"] and ids[1] == ["new1"]
+    # old docs still intact after the merge rebuild
+    _, ids = idx.search_embeddings(emb[:3], k=1)
+    assert [r[0] for r in ids] == ["d0", "d1", "d2"]
+
+
+def test_ragged_and_edge_contracts():
+    emb, _ = _mixture(100, seed=4)
+    idx = IVFIndex(32, n_clusters=4, seed=4)
+    idx.add(emb)
+    with pytest.raises(RuntimeError, match="build"):
+        idx.search_embeddings(emb[:1], k=5)
+    idx.build()
+    scores, ids = idx.search_embeddings(emb[:2], k=1000)  # k > N
+    assert len(ids[0]) <= 100 and len(scores[0]) == len(ids[0])
+    with pytest.raises(RuntimeError, match="empty"):
+        IVFIndex(32).build()
+    bad = IVFIndex(32)
+    with pytest.raises(ValueError, match="expected"):
+        bad.add(np.zeros((3, 7)))
+
+
+def test_search_is_deterministic(mixture_index):
+    idx, _, q = mixture_index
+    s1, i1 = idx.search_embeddings(q, k=10)
+    s2, i2 = idx.search_embeddings(q, k=10)
+    assert i1 == i2
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_serving_service_accepts_ivf():
+    """SearchService duck-types over either index (serving.py)."""
+    import jax
+
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.models import init_params, tiny
+    from sgpt_tpu.serving import SearchService
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    engine = EmbeddingEngine(params, cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=4, normalize_embeddings=True)
+    svc = SearchService(engine,
+                        IVFIndex(cfg.hidden_size, n_clusters=2, nprobe=2),
+                        max_wait_ms=1.0)
+    try:
+        svc.add_documents(["alpha beta", "gamma delta", "epsilon zeta"],
+                          ids=["a", "b", "c"], build=True)
+        hits = svc.search(["gamma delta"], k=2)[0]
+        assert hits[0]["id"] == "b"
+        assert svc.stats()["documents"] == 3
+    finally:
+        svc.close()
