@@ -293,11 +293,12 @@ class DenseIndex:
                 self._pending_arr = jnp.asarray(padded, self.dtype)
             self._pending_count = n
             self._pending_dirty = False
-        vals, idx = blockmax_topk(qd, self._pending_arr, self._pending_count,
-                                  k=k, block_size=self.block_size,
-                                  slab_size=self.slab_size,
-                                  corpus_scale=self._pending_scales)
-        return np.asarray(vals, np.float32), np.asarray(idx)
+        vals, idx = jax.device_get(          # one batched fetch, not two
+            blockmax_topk(qd, self._pending_arr, self._pending_count,
+                          k=k, block_size=self.block_size,
+                          slab_size=self.slab_size,
+                          corpus_scale=self._pending_scales))
+        return vals.astype(np.float32), idx
 
     def search_embeddings(self, query_embeddings, k: int = 10
                           ) -> Tuple[List[np.ndarray], List[List[str]]]:
@@ -319,8 +320,11 @@ class DenseIndex:
         if self.normalize:
             qd = normalize(qd)
         k = min(k, self._count)
-        vals, idx = self._search_fn(qd, k)
-        vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
+        # one batched D2H fetch: the dev relay charges a ~30 ms round trip
+        # PER np.asarray; device_get on the tuple fetches both in one
+        vals, idx = jax.device_get(self._search_fn(qd, k))
+        vals = vals.astype(np.float32)
+        idx = np.asarray(idx)
         if self._chunks:
             # docs added after build(): scan the pending slab too (exact same
             # kernel, small static-shape slab) and merge candidates host-side.

@@ -6,12 +6,18 @@ biencoder/beir/custommodels/exact_search.py:80-132). The exact `DenseIndex`
 scan is bandwidth-bound — 10M int8 docs ≈ 7.7 GB of HBM per query *batch* —
 which is optimal for large batched sweeps (BEIR evaluation) but pays the full
 corpus read even for a single interactive query. IVF reads only the probed
-clusters: nprobe=32 of 4096 clusters ≈ 1% of the corpus per query.
+clusters: nprobe=32 of 16384 clusters ≈ 0.2% of the corpus per query.
 
 TPU-first design — everything static-shaped and matmul-dominated:
-  * spherical k-means ON DEVICE: assignment is one (N, D) @ (D, K) matmul per
-    Lloyd iteration (slab-scanned via lax.map to bound memory), update is a
-    segment-sum; centroids re-normalize each iteration.
+  * spherical k-means ON DEVICE over a TRAINING SAMPLE (≤ max_train_rows;
+    the standard IVF recipe — centroid quality saturates long before the
+    full corpus): assignment is one (S, D) @ (D, K) matmul per Lloyd
+    iteration (slab-scanned via lax.map to bound the score tile), update is
+    a segment-sum; centroids re-normalize each iteration.
+  * full-corpus assignment STREAMS host→device in bounded chunks (the
+    corpus never needs to fit HBM in fp32 — that cap is what kept the first
+    cut of this index at ~1M docs), scoring sub-slabs under lax.map so the
+    (rows, K) score tile stays ~1 GB regardless of corpus size.
   * BALANCED layout: clusters pad to ONE common size C_pad (a multiple of 8),
     so the corpus becomes a dense (K, C_pad, D) block array — no ragged
     cluster lists, no data-dependent shapes, XLA tiles the probe matmul onto
@@ -22,9 +28,10 @@ TPU-first design — everything static-shaped and matmul-dominated:
     (nprobe, C_pad, D) blocks → one einsum → top-k over the probed union →
     merge with the exact overflow scan. Per query batch the HBM read is
     Q·nprobe·C_pad·D bytes instead of N·D.
-  * int8 option: blocks store per-row symmetric int8 + fp32 scales (same
-    scheme as DenseIndex quantize="int8", index.py) — half the gathered
-    bytes; scores dequantize in-register.
+  * int8 option: rows quantize at add() time (per-row symmetric int8 + fp32
+    scales — same scheme as DenseIndex quantize="int8", index.py) and stay
+    int8 verbatim through build/rebuild (no accumulating re-quantization
+    error); host memory and gathered bytes both drop 4×/2×.
 
 `add` after `build()` stages into a pending slab scanned exactly until the
 next build() re-clusters — the same serve-while-growing contract as
@@ -55,8 +62,8 @@ def _kmeans(corpus: jax.Array, valid: jax.Array, seed_idx: jax.Array,
             n_clusters: int, iters: int, slab: int) -> jax.Array:
     """Spherical k-means; returns L2-normalized centroids (K, D) fp32.
 
-    corpus: (N_pad, D) fp32, pre-normalized rows, N_pad a multiple of `slab`;
-    valid: (N_pad,) fp32 1/0 mask (pad rows must not pull any centroid).
+    corpus: (S_pad, D) fp32, pre-normalized rows, S_pad a multiple of `slab`;
+    valid: (S_pad,) fp32 1/0 mask (pad rows must not pull any centroid).
     seed_idx: (K,) initial centroid row indices.
     """
     cent = normalize(corpus[seed_idx])
@@ -81,6 +88,26 @@ def _kmeans(corpus: jax.Array, valid: jax.Array, seed_idx: jax.Array,
     return cent
 
 
+@partial(jax.jit, static_argnames=("slab",))
+def _assign_corpus(rows: jax.Array, cent: jax.Array, slab: int) -> jax.Array:
+    """Nearest-centroid ids for a corpus chunk, (R_pad,) int32.
+
+    rows: (R_pad, D) int8 (quantized) or fp32, R_pad a multiple of `slab`.
+    Scores compute in bf16 (assignment only needs an argmax; per-row int8
+    scales are positive and uniform across a row's centroid scores, so
+    dequantization cannot change the argmax and is skipped); the (slab, K)
+    score tile is the only large transient.
+    """
+    cent_t = cent.astype(jnp.bfloat16).T
+
+    def one_slab(s):
+        return jnp.argmax(s.astype(jnp.bfloat16) @ cent_t,
+                          axis=1).astype(jnp.int32)
+
+    return jax.lax.map(one_slab,
+                       rows.reshape(-1, slab, rows.shape[1])).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("k", "nprobe", "quantized"))
 def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
                   nprobe: int, quantized: bool):
@@ -88,24 +115,59 @@ def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
 
     blocks: (K, C_pad, D); block_ids: (K, C_pad) int32, -1 = pad slot;
     scales: (K, C_pad) fp32 when quantized.
+
+    The probed blocks are fetched one dynamic_index_in_dim slice at a time
+    under lax.map — NOT jnp.take: XLA lowers a big-slice leading-axis gather
+    to a one-hot matmul that reads the ENTIRE (K, C_pad, D) table, which
+    measured exactly as slow as the exact scan (the whole point of IVF is to
+    read nprobe/K of the corpus; dynamic slices are true DMAs of just the
+    probed clusters).
     """
+    Q, D = q.shape
     probe = jax.lax.top_k(q @ centroids.T, nprobe)[1]          # (Q, P)
-    g = jnp.take(blocks, probe, axis=0)                        # (Q, P, C, D)
-    gid = jnp.take(block_ids, probe, axis=0)                   # (Q, P, C)
-    if quantized:
-        scores = jnp.einsum("qd,qpcd->qpc", q.astype(jnp.bfloat16),
-                            g.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-        scores = scores * jnp.take(scales, probe, axis=0)
-    else:
-        scores = jnp.einsum("qd,qpcd->qpc", q.astype(blocks.dtype), g,
-                            preferred_element_type=jnp.float32)
-    scores = jnp.where(gid < 0, -jnp.inf, scores)
-    Q = q.shape[0]
-    flat = scores.reshape(Q, -1)
-    top_vals, pos = jax.lax.top_k(flat, k)
+    qc = q.astype(jnp.bfloat16 if quantized else blocks.dtype)
+    # each (query, probe) pair scores one (C_pad, D) block against its query
+    flat_probe = probe.reshape(-1)                             # (Q*P,)
+    q_for = jnp.repeat(qc, nprobe, axis=0)                     # (Q*P, D)
+
+    def score_one(args):
+        c, qv = args
+        blk = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
+        ids = jax.lax.dynamic_index_in_dim(block_ids, c, 0, keepdims=False)
+        s = jnp.einsum("cd,d->c", blk.astype(qv.dtype), qv,
+                       preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * jax.lax.dynamic_index_in_dim(scales, c, 0, keepdims=False)
+        return jnp.where(ids < 0, -jnp.inf, s), ids
+
+    scores, gid = jax.lax.map(score_one, (flat_probe, q_for))  # (Q*P, C)
+    top_vals, pos = jax.lax.top_k(scores.reshape(Q, -1), k)
     top_ids = jnp.take_along_axis(gid.reshape(Q, -1), pos, axis=1)
     return top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "k_ov", "nprobe", "quantized",
+                                   "block_size"))
+def _probe_overflow_search(q, centroids, blocks, block_ids, scales,
+                           ov, ov_scales, ov_ids, ov_count, k: int, k_ov: int,
+                           nprobe: int, quantized: bool, block_size: int):
+    """Probe + overflow exact scan + candidate merge fused into ONE dispatch
+    with TWO output arrays. The dev relay charges ~30 ms per dispatch AND
+    ~30 ms per D2H array fetch (measured; jax.device_get batches a pytree
+    into one fetch) — the unfused path (2 dispatches + 4 per-array fetches)
+    cost ~110 ms of pure RPC per single query."""
+    tv, ti = _probe_search(q, centroids, blocks, block_ids, scales, k,
+                           nprobe, quantized)
+    ov_v, ov_i = blockmax_topk(q, ov, ov_count, k=k_ov,
+                               block_size=block_size, corpus_scale=ov_scales)
+    # map overflow row slots → global doc positions; blockmax's -inf filler
+    # slots carry row 0, whose mapped id is a REAL doc — their -inf score
+    # keeps them out of any top-k that has genuine candidates left, and the
+    # host-side `finite` filter drops the rest
+    gi = jnp.concatenate([ti, ov_ids[ov_i]], axis=1)
+    gv = jnp.concatenate([tv, ov_v], axis=1)
+    top_vals, pos = jax.lax.top_k(gv, min(k + k_ov, gv.shape[1]))
+    return top_vals, jnp.take_along_axis(gi, pos, axis=1)
 
 
 class IVFIndex:
@@ -114,10 +176,11 @@ class IVFIndex:
 
     def __init__(self, dim: int, *, n_clusters: int = 1024,
                  normalize_embeddings: bool = True, pad_factor: float = 1.5,
-                 kmeans_iters: int = 10, train_slab: int = 1 << 17,
+                 kmeans_iters: int = 10, train_slab: int = 1 << 15,
+                 max_train_rows: int = 1 << 18, assign_chunk: int = 1 << 20,
                  nprobe: int = 32, seed: int = 0,
                  dtype=jnp.bfloat16, quantize: Optional[str] = None,
-                 block_size: int = 128):
+                 block_size: int = 128, gather_budget: int = 1 << 28):
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.dim = dim
@@ -125,13 +188,17 @@ class IVFIndex:
         self.normalize = normalize_embeddings
         self.pad_factor = pad_factor
         self.kmeans_iters = kmeans_iters
-        self.train_slab = train_slab
+        self.train_slab = train_slab        # rows per k-means/assign score tile
+        self.max_train_rows = max_train_rows  # k-means sample cap
+        self.assign_chunk = assign_chunk    # rows per H2D assignment transfer
         self.nprobe = nprobe
         self.seed = seed
         self.dtype = dtype
         self.quantize = quantize
         self.block_size = block_size   # pending/overflow slab granularity
-        self._chunks: List[np.ndarray] = []
+        self.gather_budget = gather_budget  # bytes: caps qchunk·nprobe·C_pad·D
+        self._chunks: List[np.ndarray] = []      # int8 when quantized else fp32
+        self._scale_chunks: List[np.ndarray] = []
         self._ids: List[str] = []
         self._count = 0
         self._built_count = 0
@@ -143,6 +210,7 @@ class IVFIndex:
         self._overflow = None          # (M_pad, D) exact-scanned remainder
         self._overflow_scales = None
         self._overflow_ids = None      # (M_pad,) int32 positions, -1 pad
+        self._overflow_ids_dev = None
         self._overflow_count = 0
         # post-build adds (exact-scanned pending slab, like DenseIndex)
         self._pending_arr = None
@@ -160,7 +228,12 @@ class IVFIndex:
             emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True),
                                 1e-12, None)
         start = self._count
-        self._chunks.append(emb)
+        if self.quantize == "int8":
+            q, s = _quantize_rows(emb)
+            self._chunks.append(q)
+            self._scale_chunks.append(s)
+        else:
+            self._chunks.append(emb)
         self._ids.extend(ids if ids is not None
                          else (str(start + i) for i in range(emb.shape[0])))
         self._count += emb.shape[0]
@@ -179,46 +252,83 @@ class IVFIndex:
         return self._count - self._built_count
 
     # ------------------------------------------------------------------
-    def _quantize_rows(self, emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        scale = np.clip(np.abs(emb).max(axis=-1), 1e-12, None) / 127.0
-        q = np.round(emb / scale[..., None]).astype(np.int8)
-        return q, scale.astype(np.float32)
+    def _host_corpus(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """All docs (built + pending) as host rows in position order:
+        (int8 rows, fp32 scales) when quantized, (fp32 rows, None) otherwise."""
+        chunks = list(self._chunks)
+        scale_chunks = list(self._scale_chunks)
+        if self._blocks is not None:
+            prev, prev_scales = self._rebuild_host_rows()
+            chunks.insert(0, prev)
+            if prev_scales is not None:
+                scale_chunks.insert(0, prev_scales)
+        rows = np.concatenate(chunks, axis=0)
+        scales = (np.concatenate(scale_chunks)
+                  if self.quantize == "int8" else None)
+        return rows, scales
 
     def build(self):
-        """(Re-)cluster everything (built + pending) into the block layout."""
+        """(Re-)cluster everything (built + pending) into the block layout.
+
+        Scales past HBM: k-means trains on a ≤max_train_rows sample, then the
+        full corpus streams through the assignment matmul in assign_chunk
+        host→device transfers — only the (train_slab, K) score tile and one
+        chunk of rows are ever resident beyond the final block layout.
+        """
         if not self._chunks and self._blocks is None:
             raise RuntimeError("build() on an empty index")
-        chunks = list(self._chunks)
-        if self._blocks is not None and chunks:
-            chunks.insert(0, self._rebuild_host_corpus())
-        if chunks:
-            corpus = np.concatenate(chunks, axis=0)
-        else:
+        if self._blocks is not None and not self._chunks:
             return self  # built, nothing pending
+        corpus, scales = self._host_corpus()
         n, d = corpus.shape
         K = min(self.n_clusters, n)
-
-        # ---- train + assign on device (fp32; slab-scanned matmuls) ----
-        slab = min(self.train_slab, _round_up(n, 8))
-        n_pad = _round_up(n, slab)
-        corpus_pad = np.zeros((n_pad, d), np.float32)
-        corpus_pad[:n] = corpus
-        dev = jnp.asarray(corpus_pad)
-        valid = jnp.asarray((np.arange(n_pad) < n).astype(np.float32))
         rng = np.random.default_rng(self.seed)
-        seed_idx = jnp.asarray(rng.choice(n, size=K, replace=False), jnp.int32)
-        cent = _kmeans(dev, valid, seed_idx, K, self.kmeans_iters, slab)
-        assign = np.asarray(
-            jax.lax.map(lambda s: jnp.argmax(s @ cent.T, axis=1),
-                        dev.reshape(-1, slab, d)).reshape(-1)[:n])
-        del dev
 
-        # ---- balanced block layout ----
+        # ---- train on a sample (fp32 on device; slab-scanned matmuls) ----
+        train_n = min(n, max(self.max_train_rows, K))
+        if train_n < n:
+            sample_idx = np.sort(rng.choice(n, size=train_n, replace=False))
+        else:
+            sample_idx = np.arange(n)
+        sample = corpus[sample_idx].astype(np.float32)
+        if self.quantize == "int8":
+            sample *= scales[sample_idx][:, None]
+        slab = min(self.train_slab, _round_up(train_n, 8))
+        s_pad = _round_up(train_n, slab)
+        sample_pad = np.zeros((s_pad, d), np.float32)
+        sample_pad[:train_n] = sample
+        del sample
+        dev = jnp.asarray(sample_pad)
+        valid = jnp.asarray((np.arange(s_pad) < train_n).astype(np.float32))
+        seed_idx = jnp.asarray(rng.choice(train_n, size=K, replace=False),
+                               jnp.int32)
+        cent = _kmeans(dev, valid, seed_idx, K, self.kmeans_iters, slab)
+        del dev, valid
+
+        # ---- streamed full-corpus assignment ----
+        assign = np.empty(n, np.int32)
+        chunk = _round_up(min(self.assign_chunk, n), slab)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            r_pad = _round_up(e - s, slab)
+            if self.quantize == "int8":
+                rows = np.zeros((r_pad, d), np.int8)
+                rows[: e - s] = corpus[s:e]
+            else:
+                rows = np.zeros((r_pad, d), np.float32)
+                rows[: e - s] = corpus[s:e]
+            a = _assign_corpus(jnp.asarray(rows), cent, slab)
+            assign[s:e] = np.asarray(a)[: e - s]
+
+        # ---- balanced block layout (host; rows keep their stored dtype) ----
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=K)
         c_pad = max(_round_up(int(self.pad_factor * max(1, n // K)), 8), 8)
-        blocks = np.zeros((K, c_pad, d), np.float32)
+        host_dtype = np.int8 if self.quantize == "int8" else np.float32
+        blocks = np.zeros((K, c_pad, d), host_dtype)
         block_ids = np.full((K, c_pad), -1, np.int32)
+        block_scales = (np.zeros((K, c_pad), np.float32)
+                        if self.quantize == "int8" else None)
         overflow_rows, overflow_ids = [], []
         pos = 0
         for c in range(K):
@@ -227,6 +337,8 @@ class IVFIndex:
             take = members[:c_pad]
             blocks[c, :len(take)] = corpus[take]
             block_ids[c, :len(take)] = take
+            if block_scales is not None:
+                block_scales[c, :len(take)] = scales[take]
             if len(members) > c_pad:   # spill: scanned exactly, never dropped
                 overflow_rows.append(corpus[members[c_pad:]])
                 overflow_ids.append(members[c_pad:])
@@ -238,56 +350,63 @@ class IVFIndex:
 
         self._centroids = cent
         self._block_ids = jnp.asarray(block_ids)
-        if self.quantize == "int8":
-            q, s = self._quantize_rows(blocks)
-            s = np.where(block_ids < 0, 0.0, s)   # pad rows score exactly 0
-            self._blocks = jnp.asarray(q)
-            self._scales = jnp.asarray(s)
-        else:
-            self._blocks = jnp.asarray(blocks, self.dtype)
-            self._scales = None
+        self._blocks = (jnp.asarray(blocks) if self.quantize == "int8"
+                        else jnp.asarray(blocks, self.dtype))
+        self._scales = (jnp.asarray(block_scales)
+                        if block_scales is not None else None)
         m_pad = _round_up(max(m, 1), self.block_size)
-        ov = np.zeros((m_pad, d), np.float32)
+        ov = np.zeros((m_pad, d), host_dtype)
         ov_ids = np.full((m_pad,), -1, np.int32)
         if m:
             ov[:m] = np.concatenate(overflow_rows)
             ov_ids[:m] = np.concatenate(overflow_ids)
         if self.quantize == "int8":
-            qo, so = self._quantize_rows(ov)
-            self._overflow = jnp.asarray(qo)
-            self._overflow_scales = jnp.asarray(so)
+            # pad rows: harmless scale 1.0 (their int8 rows are zero anyway)
+            ov_scales = np.ones((m_pad,), np.float32)
+            if m:
+                ov_scales[:m] = scales[np.concatenate(overflow_ids)]
+            self._overflow = jnp.asarray(ov)
+            self._overflow_scales = jnp.asarray(ov_scales)
         else:
             self._overflow = jnp.asarray(ov, self.dtype)
             self._overflow_scales = None
         self._overflow_ids = ov_ids
+        self._overflow_ids_dev = jnp.asarray(ov_ids)
         self._overflow_count = m
         self._built_count = n
-        self._chunks, self._pending_arr = [], None
+        self._chunks, self._scale_chunks = [], []
+        self._pending_arr, self._pending_scales = None, None
         self._pending_count, self._pending_dirty = 0, False
         return self
 
-    def _rebuild_host_corpus(self) -> np.ndarray:
-        """Fetch the built corpus back to host fp32 for a merge rebuild."""
-        blocks = np.asarray(self._blocks, np.float32)
-        if self.quantize == "int8":
-            blocks = blocks * np.asarray(self._scales)[..., None]
+    def _rebuild_host_rows(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Fetch the built corpus back to host in position order, in its
+        STORED dtype (int8 rows + scales when quantized — rebuilds never
+        re-quantize, so merge rebuilds accumulate no extra error)."""
+        blocks = np.asarray(self._blocks)
         flat_ids = np.asarray(self._block_ids).reshape(-1)
         flat = blocks.reshape(-1, self.dim)
-        ov = np.asarray(self._overflow, np.float32)
-        if self.quantize == "int8":
-            ov = ov * np.asarray(self._overflow_scales)[:, None]
-        out = np.zeros((self._built_count, self.dim), np.float32)
-        out[flat_ids[flat_ids >= 0]] = flat[flat_ids >= 0]
+        ov = np.asarray(self._overflow)
+        host_dtype = np.int8 if self.quantize == "int8" else np.float32
+        out = np.zeros((self._built_count, self.dim), host_dtype)
+        live = flat_ids >= 0
+        out[flat_ids[live]] = flat[live]
         keep = self._overflow_ids >= 0
         out[self._overflow_ids[keep]] = ov[keep]
-        return out
+        if self.quantize != "int8":
+            return out, None
+        scales = np.ones((self._built_count,), np.float32)
+        scales[flat_ids[live]] = np.asarray(self._scales).reshape(-1)[live]
+        scales[self._overflow_ids[keep]] = \
+            np.asarray(self._overflow_scales)[keep]
+        return out, scales
 
     # ------------------------------------------------------------------
     def _scan_slab(self, qd, arr, scales, count, k):
-        vals, idx = blockmax_topk(qd, arr, count, k=k,
-                                  block_size=self.block_size,
-                                  corpus_scale=scales)
-        return np.asarray(vals, np.float32), np.asarray(idx)
+        vals, idx = jax.device_get(           # one batched fetch, not two
+            blockmax_topk(qd, arr, count, k=k, block_size=self.block_size,
+                          corpus_scale=scales))
+        return vals.astype(np.float32), idx
 
     def _search_pending(self, qd, k: int):
         if self._pending_arr is None or self._pending_dirty:
@@ -295,13 +414,14 @@ class IVFIndex:
             n = pend.shape[0]
             blocks = -(-n // self.block_size)
             n_pad = self.block_size * (1 << max(0, (blocks - 1).bit_length()))
-            padded = np.zeros((n_pad, self.dim), np.float32)
+            host_dtype = np.int8 if self.quantize == "int8" else np.float32
+            padded = np.zeros((n_pad, self.dim), host_dtype)
             padded[:n] = pend
             if self.quantize == "int8":
-                q, s = self._quantize_rows(padded)
-                self._pending_arr = jnp.asarray(q)
-                self._pending_scales = jnp.asarray(
-                    np.where(np.arange(n_pad) < n, s, 1.0).astype(np.float32))
+                s = np.ones((n_pad,), np.float32)
+                s[:n] = np.concatenate(self._scale_chunks)
+                self._pending_arr = jnp.asarray(padded)
+                self._pending_scales = jnp.asarray(s)
             else:
                 self._pending_arr = jnp.asarray(padded, self.dtype)
                 self._pending_scales = None
@@ -315,11 +435,13 @@ class IVFIndex:
                                min(k, self._pending_count))
 
     def search_embeddings(self, query_embeddings, k: int = 10, *,
-                          nprobe: Optional[int] = None, qchunk: int = 16
+                          nprobe: Optional[int] = None,
+                          qchunk: Optional[int] = None
                           ) -> Tuple[List[np.ndarray], List[List[str]]]:
         """Same ragged contract as DenseIndex.search_embeddings: (per-query
         score arrays, per-query id lists). qchunk bounds the gathered-block
-        memory (Q·nprobe·C_pad·D per chunk)."""
+        memory (Q·nprobe·C_pad·D per chunk); by default it is sized so the
+        gather stays under gather_budget bytes."""
         q = np.asarray(query_embeddings, np.float32)
         if self._blocks is None:
             if self._chunks:
@@ -331,34 +453,48 @@ class IVFIndex:
             q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True),
                             1e-12, None)
         nprobe = min(nprobe or self.nprobe, int(self._centroids.shape[0]))
+        c_pad = int(self._blocks.shape[1])
+        if qchunk is None:
+            row_bytes = nprobe * c_pad * self.dim * self._blocks.dtype.itemsize
+            qchunk = max(1, min(16, self.gather_budget // max(row_bytes, 1)))
         k_eff = min(k, self._count)
-        kc = min(k_eff, nprobe * int(self._blocks.shape[1]))
+        kc = min(k_eff, nprobe * c_pad)
 
         vals_l, ids_l = [], []
         for s in range(0, q.shape[0], qchunk):
             qs = jnp.asarray(q[s:s + qchunk])
-            tv, ti = _probe_search(qs, self._centroids, self._blocks,
-                                   self._block_ids, self._scales, kc, nprobe,
-                                   self.quantize == "int8")
-            tv, ti = np.asarray(tv, np.float32), np.asarray(ti)
             if self._overflow_count:
-                ov, oi = self._scan_slab(qs, self._overflow,
-                                         self._overflow_scales,
-                                         self._overflow_count,
-                                         min(k_eff, self._overflow_count))
-                oi = self._overflow_ids[oi]   # -1 pad ids drop via `finite`
-                tv = np.concatenate([tv, ov], axis=1)
-                ti = np.concatenate([ti, oi], axis=1)
+                tv, ti = jax.device_get(_probe_overflow_search(
+                    qs, self._centroids, self._blocks, self._block_ids,
+                    self._scales, self._overflow, self._overflow_scales,
+                    self._overflow_ids_dev, self._overflow_count, kc,
+                    min(k_eff, self._overflow_count), nprobe,
+                    self.quantize == "int8", self.block_size))
+                tv = tv.astype(np.float32)
+            else:
+                tv, ti = jax.device_get(_probe_search(
+                    qs, self._centroids, self._blocks, self._block_ids,
+                    self._scales, kc, nprobe, self.quantize == "int8"))
+                tv = tv.astype(np.float32)
             if self._chunks:
                 pv, pi = self._search_pending(qs, k_eff)
                 tv = np.concatenate([tv, pv], axis=1)
                 ti = np.concatenate([ti, pi + self._built_count], axis=1)
-            ord_ = np.argsort(-tv, axis=1, kind="stable")[:, :k_eff]
-            vals_l.append(np.take_along_axis(tv, ord_, axis=1))
-            ids_l.append(np.take_along_axis(ti, ord_, axis=1))
+                ord_ = np.argsort(-tv, axis=1, kind="stable")
+                tv = np.take_along_axis(tv, ord_, axis=1)
+                ti = np.take_along_axis(ti, ord_, axis=1)
+            vals_l.append(tv[:, :k_eff])
+            ids_l.append(ti[:, :k_eff])
         vals = np.concatenate(vals_l, axis=0)
         idx = np.concatenate(ids_l, axis=0)
         finite = (vals > -1e29) & (idx >= 0)
         ids = [[self._ids[int(i)] for i, ok in zip(row_i, row_f) if ok]
                for row_i, row_f in zip(idx, finite)]
         return ([row_v[row_f] for row_v, row_f in zip(vals, finite)], ids)
+
+
+def _quantize_rows(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 (same scheme as DenseIndex, index.py:94-97)."""
+    scale = np.clip(np.abs(emb).max(axis=-1), 1e-12, None) / 127.0
+    q = np.round(emb / scale[..., None]).astype(np.int8)
+    return q, scale.astype(np.float32)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,9 +47,10 @@ def semantic_search(query_embeddings, corpus_embeddings, *, top_k: int = 10,
     out: List[List[Dict]] = []
     k = min(top_k, n)
     for s in range(0, len(q), query_chunk_size):
-        vals, idx = blockmax_topk(jnp.asarray(q[s : s + query_chunk_size]),
-                                  c_dev, n, k=k)
-        for vrow, irow in zip(np.asarray(vals), np.asarray(idx)):
+        vals, idx = jax.device_get(    # one batched D2H fetch per chunk
+            blockmax_topk(jnp.asarray(q[s : s + query_chunk_size]),
+                          c_dev, n, k=k))
+        for vrow, irow in zip(vals, idx):
             out.append([{"corpus_id": int(i), "score": float(v)}
                         for v, i in zip(vrow, irow)])
     return out

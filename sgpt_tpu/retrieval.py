@@ -13,6 +13,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,10 +83,11 @@ class DenseRetriever:
             pad[:n] = c_emb
             # block-max candidate filtering: exact top-k at matmul speed
             # (ops/topk.blockmax_topk; replaces the reference's torch.topk+heapq)
-            vals, idx = blockmax_topk(jnp.asarray(q_emb), jnp.asarray(pad), n,
-                                      k=min(k, n_pad), block_size=128,
-                                      slab_size=self.device_chunk)
-            vals, idx = np.asarray(vals), np.asarray(idx).astype(np.int64) + start
+            vals, idx = jax.device_get(   # one batched D2H fetch, not two
+                blockmax_topk(jnp.asarray(q_emb), jnp.asarray(pad), n,
+                              k=min(k, n_pad), block_size=128,
+                              slab_size=self.device_chunk))
+            vals, idx = vals, idx.astype(np.int64) + start
             if vals.shape[1] < k:  # corpus chunk smaller than k
                 fill = np.full((Q, k - vals.shape[1]), -np.inf, np.float32)
                 vals = np.concatenate([vals, fill], axis=1)

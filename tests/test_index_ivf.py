@@ -171,3 +171,35 @@ def test_serving_service_accepts_ivf():
         assert svc.stats()["documents"] == 3
     finally:
         svc.close()
+
+
+def test_sampled_training_path():
+    """max_train_rows < n: k-means trains on a subsample, assignment streams
+    in bounded chunks — recall must hold on clusterable data."""
+    emb, rng = _mixture(3000, seed=5)
+    idx = IVFIndex(32, n_clusters=16, nprobe=16, seed=5,
+                   max_train_rows=512, assign_chunk=700, train_slab=256)
+    idx.add(emb)
+    idx.build()
+    q = emb[rng.integers(0, 3000, 16)].astype(np.float32)
+    oracle = _exact_topk(emb, q, 10)
+    _, ids = idx.search_embeddings(q, k=10, nprobe=16)
+    assert _recall(ids, oracle, 10) >= 0.99      # nprobe=K: exact
+
+
+def test_int8_rows_survive_rebuild_verbatim():
+    """Merge rebuilds must not re-quantize: scores for the original docs are
+    IDENTICAL before and after an add+build cycle."""
+    emb, rng = _mixture(500, seed=6)
+    q = emb[:4].astype(np.float32)
+    idx = IVFIndex(32, n_clusters=8, nprobe=8, quantize="int8", seed=6)
+    idx.add(emb, ids=[f"d{i}" for i in range(500)])
+    idx.build()
+    before_scores, before_ids = idx.search_embeddings(q, k=5, nprobe=8)
+    idx.add(rng.standard_normal((7, 32)).astype(np.float32) + 5.0,
+            ids=[f"n{i}" for i in range(7)])
+    idx.build()
+    after_scores, after_ids = idx.search_embeddings(q, k=5, nprobe=8)
+    assert before_ids == after_ids
+    for a, b in zip(before_scores, after_scores):
+        np.testing.assert_array_equal(a, b)
