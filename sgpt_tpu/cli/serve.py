@@ -73,6 +73,10 @@ def main(argv=None):
     ap.add_argument("--nprobe", type=int, default=32,
                     help="IVF clusters probed per query")
     ap.add_argument("--corpus", default=None, help="jsonl corpus to index at start")
+    ap.add_argument("--index-path", default=None,
+                    help="persisted-index directory: loaded at startup if it "
+                    "exists (skips the corpus re-encode), target of POST "
+                    "/save, and auto-saved after an initial --corpus build")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-wait-ms", type=float, default=3.0,
@@ -103,14 +107,32 @@ def main(argv=None):
     else:
         index = DenseIndex(engine.out_dim, normalize_embeddings=True,
                            mesh=mesh, quantize=args.quantize_index)
-    service = SearchService(engine, index, max_wait_ms=args.max_wait_ms)
+    import os
+    loaded = False
+    if args.index_path and os.path.exists(
+            os.path.join(args.index_path, "index.npz")):
+        index, documents = SearchService.load_index(args.index_path)
+        if getattr(index, "dim", None) != engine.out_dim:
+            raise SystemExit(f"--index-path holds dim={index.dim} embeddings "
+                             f"but the model produces {engine.out_dim}")
+        logger.info("loaded %d docs from %s", len(index), args.index_path)
+        service = SearchService(engine, index, documents=documents,
+                                max_wait_ms=args.max_wait_ms)
+        loaded = True
+    else:
+        service = SearchService(engine, index, max_wait_ms=args.max_wait_ms)
 
-    if args.corpus:
+    if args.corpus and not loaded:
         ids, texts = load_jsonl_corpus(args.corpus)
         logger.info("indexing %d docs from %s ...", len(texts), args.corpus)
         service.add_documents(texts, ids=ids, build=True)
+        if args.index_path:
+            logger.info("saving index to %s", args.index_path)
+            service.save(args.index_path)
 
-    server = make_server(service, args.host, args.port, model_name=args.modelname)
+    server = make_server(service, args.host, args.port,
+                         model_name=args.modelname,
+                         index_path=args.index_path)
     logger.info("serving %s on http://%s:%d (docs=%d)", args.modelname,
                 *server.server_address[:2], len(index))
     try:

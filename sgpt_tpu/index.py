@@ -10,6 +10,7 @@ Single-device path is the same kernel without the shard_map wrapper.
 """
 from __future__ import annotations
 
+import json
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -23,6 +24,20 @@ from .ops.topk import blockmax_topk
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _encode_ids(ids: List[str]) -> np.ndarray:
+    """Doc ids → one uint8 buffer (np.savez of a 10M-string unicode array
+    pads every id to the longest; a newline-joined utf-8 buffer doesn't)."""
+    joined = "\n".join(ids)
+    if joined.count("\n") != max(len(ids) - 1, 0):
+        raise ValueError("doc ids containing newlines cannot be persisted")
+    return np.frombuffer(joined.encode("utf-8"), np.uint8)
+
+
+def _decode_ids(buf: np.ndarray) -> List[str]:
+    raw = buf.tobytes().decode("utf-8")
+    return raw.split("\n") if raw else []
 
 
 class DenseIndex:
@@ -353,6 +368,64 @@ class DenseIndex:
     def pending_docs(self) -> int:
         """Docs added since the last build() (scanned via the pending slab)."""
         return self._count - self._built_count
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str):
+        """Persist all docs (built + pending) to one .npz: a restarted server
+        skips re-encoding its corpus (the expensive half of serving startup).
+        int8 rows and their scales round-trip verbatim — save/load adds zero
+        quantization error. Reference has no index persistence at all (it
+        re-embeds per run, beir_dense_retriever.py caches raw embeddings)."""
+        rows, scales = [], []
+        if self._corpus is not None:
+            built = np.asarray(self._corpus[: self._built_count])
+            rows.append(built.astype(
+                np.int8 if self.quantize == "int8" else np.float32))
+            if self.quantize == "int8":
+                scales.append(np.asarray(self._scales[: self._built_count],
+                                         np.float32))
+        rows.extend(self._chunks)
+        scales.extend(self._scale_chunks)
+        payload = {
+            "rows": (np.concatenate(rows) if rows
+                     else np.zeros((0, self.dim),
+                                   np.int8 if self.quantize == "int8"
+                                   else np.float32)),
+            "ids": _encode_ids(self._ids),
+            "meta": np.bytes_(json.dumps({
+                "kind": "dense", "dim": self.dim,
+                "normalize": self.normalize, "quantize": self.quantize,
+                "block_size": self.block_size, "dtype": np.dtype(self.dtype).name,
+                "count": self._count, "built": self._corpus is not None,
+            }).encode()),
+        }
+        if self.quantize == "int8":
+            payload["scales"] = (np.concatenate(scales) if scales
+                                 else np.zeros((0,), np.float32))
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, *, mesh=None, **kw) -> "DenseIndex":
+        """Restore a save()d index; rebuilds the device corpus (pad + H2D —
+        the cheap half) and re-runs build() if it was built when saved."""
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta"]))
+        if meta.get("kind") != "dense":
+            raise ValueError(f"{path} holds a {meta.get('kind')!r} index; "
+                             "use the matching class to load it")
+        idx = cls(meta["dim"], normalize_embeddings=meta["normalize"],
+                  quantize=meta["quantize"], block_size=meta["block_size"],
+                  dtype=np.dtype(meta["dtype"]), mesh=mesh, **kw)
+        rows = z["rows"]
+        if rows.shape[0]:
+            idx._chunks = [rows]
+            if meta["quantize"] == "int8":
+                idx._scale_chunks = [z["scales"]]
+        idx._ids = _decode_ids(z["ids"])
+        idx._count = meta["count"]
+        if meta["built"] and rows.shape[0]:
+            idx.build()
+        return idx
 
 
 def index_corpus(engine, corpus, *, mesh=None, batch_docs: int = 50_000,

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .index import _decode_ids, _encode_ids
 from .ops.pooling import normalize
 from .ops.topk import blockmax_topk
 
@@ -400,6 +401,84 @@ class IVFIndex:
         scales[self._overflow_ids[keep]] = \
             np.asarray(self._overflow_scales)[keep]
         return out, scales
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str):
+        """Persist the BUILT state (centroids + block layout + overflow) plus
+        any pending docs to one .npz — load() restores without re-running
+        k-means, so a 10M-doc server restart skips both the re-encode AND the
+        re-cluster. int8 rows round-trip verbatim."""
+        import json as _json
+
+        payload = {
+            "ids": _encode_ids(self._ids),
+            "meta": np.bytes_(_json.dumps({
+                "kind": "ivf", "dim": self.dim, "n_clusters": self.n_clusters,
+                "normalize": self.normalize, "quantize": self.quantize,
+                "pad_factor": self.pad_factor, "nprobe": self.nprobe,
+                "block_size": self.block_size, "dtype": np.dtype(self.dtype).name,
+                "count": self._count, "built_count": self._built_count,
+                "overflow_count": self._overflow_count,
+                "built": self._blocks is not None,
+            }).encode()),
+        }
+        if self._blocks is not None:
+            blocks = np.asarray(self._blocks)
+            ov = np.asarray(self._overflow)
+            if self.quantize != "int8":    # bf16 → fp32 (exact upcast)
+                blocks = blocks.astype(np.float32)
+                ov = ov.astype(np.float32)
+            payload.update(
+                centroids=np.asarray(self._centroids, np.float32),
+                blocks=blocks, block_ids=np.asarray(self._block_ids),
+                overflow=ov, overflow_ids=self._overflow_ids)
+            if self.quantize == "int8":
+                payload["scales"] = np.asarray(self._scales, np.float32)
+                payload["overflow_scales"] = np.asarray(
+                    self._overflow_scales, np.float32)
+        if self._chunks:
+            payload["pending"] = np.concatenate(self._chunks)
+            if self.quantize == "int8":
+                payload["pending_scales"] = np.concatenate(self._scale_chunks)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "IVFIndex":
+        import json as _json
+
+        z = np.load(path)
+        meta = _json.loads(bytes(z["meta"]))
+        if meta.get("kind") != "ivf":
+            raise ValueError(f"{path} holds a {meta.get('kind')!r} index; "
+                             "use the matching class to load it")
+        idx = cls(meta["dim"], n_clusters=meta["n_clusters"],
+                  normalize_embeddings=meta["normalize"],
+                  quantize=meta["quantize"], pad_factor=meta["pad_factor"],
+                  nprobe=meta["nprobe"], block_size=meta["block_size"],
+                  dtype=np.dtype(meta["dtype"]), **kw)
+        idx._ids = _decode_ids(z["ids"])
+        idx._count = meta["count"]
+        idx._built_count = meta["built_count"]
+        if meta["built"]:
+            quant = meta["quantize"] == "int8"
+            idx._centroids = jnp.asarray(z["centroids"])
+            idx._blocks = (jnp.asarray(z["blocks"]) if quant
+                           else jnp.asarray(z["blocks"], idx.dtype))
+            idx._block_ids = jnp.asarray(z["block_ids"])
+            idx._overflow = (jnp.asarray(z["overflow"]) if quant
+                             else jnp.asarray(z["overflow"], idx.dtype))
+            idx._overflow_ids = z["overflow_ids"]
+            idx._overflow_ids_dev = jnp.asarray(z["overflow_ids"])
+            idx._overflow_count = meta["overflow_count"]
+            if quant:
+                idx._scales = jnp.asarray(z["scales"])
+                idx._overflow_scales = jnp.asarray(z["overflow_scales"])
+        if "pending" in z.files:
+            idx._chunks = [z["pending"]]
+            if meta["quantize"] == "int8":
+                idx._scale_chunks = [z["pending_scales"]]
+            idx._pending_dirty = True
+        return idx
 
     # ------------------------------------------------------------------
     def _scan_slab(self, qd, arr, scales, count, k):

@@ -22,6 +22,8 @@ Endpoints (stdlib `http.server`, JSON bodies):
   POST /documents       add documents to the live index (pending-slab adds:
                         serving keeps answering; POST /rebuild merges)
   POST /rebuild         merge pending docs into the static-shape corpus
+  POST /save            persist index + documents to --index-path (restart
+                        skips the corpus re-encode)
   GET  /healthz, /stats
 
 Thread model: N handler threads (ThreadingHTTPServer) → 2 dispatcher threads
@@ -34,6 +36,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import queue
 import threading
 import time
@@ -232,6 +235,45 @@ class SearchService:
                 "out_dim": self.engine.out_dim,
             }
 
+    # -- persistence --------------------------------------------------------
+    def save(self, directory: str) -> dict:
+        """Persist the index (+ retained doc texts) under `directory`:
+        index.npz via the index's own save(), documents.jsonl for
+        return_documents=True. A restarted server points --index-path here
+        and skips re-encoding the corpus."""
+        os.makedirs(directory, exist_ok=True)
+        with self._lock:
+            self.index.save(os.path.join(directory, "index.npz"))
+            n_docs = len(self.documents)
+            with open(os.path.join(directory, "documents.jsonl"), "w") as f:
+                for i, t in self.documents.items():
+                    f.write(json.dumps({"id": i, "text": t}) + "\n")
+        return {"documents": len(self.index), "texts": n_docs,
+                "path": directory}
+
+    @staticmethod
+    def load_index(directory: str):
+        """(index, documents dict) from a save()d directory. The index class
+        is recovered from the file's own metadata."""
+        import numpy as np
+
+        path = os.path.join(directory, "index.npz")
+        meta = json.loads(bytes(np.load(path)["meta"]))
+        if meta.get("kind") == "ivf":
+            from .index_ivf import IVFIndex
+            index = IVFIndex.load(path)
+        else:
+            index = DenseIndex.load(path)
+        documents = {}
+        doc_path = os.path.join(directory, "documents.jsonl")
+        if os.path.exists(doc_path):
+            with open(doc_path) as f:
+                for line in f:
+                    if line.strip():
+                        row = json.loads(line)
+                        documents[row["id"]] = row["text"]
+        return index, documents
+
     def close(self):
         self._q_batcher.close()
         self._d_batcher.close()
@@ -289,6 +331,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, self._documents(body))
             elif self.path == "/rebuild":
                 self._send(200, {"documents": self.service.rebuild()})
+            elif self.path == "/save":
+                path = body.get("path") or getattr(self.server,
+                                                  "index_path", None)
+                if not path:
+                    self._send(400, {"error": "no path: pass {\"path\": ...} "
+                                     "or start the server with --index-path"})
+                else:
+                    self._send(200, self.service.save(path))
             else:
                 self._send(404, {"error": f"no route {self.path}"})
         except (ValueError, TypeError, KeyError) as e:
@@ -350,13 +400,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",
-                port: int = 8080, *, model_name: str = "sgpt-tpu"
-                ) -> ThreadingHTTPServer:
+                port: int = 8080, *, model_name: str = "sgpt-tpu",
+                index_path: Optional[str] = None) -> ThreadingHTTPServer:
     """Bind a ThreadingHTTPServer for `service`; caller runs serve_forever().
 
     port=0 binds an ephemeral port (tests); `server.server_address[1]` holds
-    the actual one.
+    the actual one. index_path is the default directory for POST /save.
     """
     handler = type("BoundHandler", (_Handler,),
                    {"service": service, "model_name": model_name})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.index_path = index_path
+    return srv

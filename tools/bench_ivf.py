@@ -155,8 +155,11 @@ def main():
     exact = (None if args.skip_exact
              else DenseIndex(args.dim, normalize_embeddings=True,
                              quantize="int8"))
+    # k-means sample: >=32 docs per centroid (bounded 1M) — the default 256k
+    # cap is too thin at K=16384 (16/cluster)
+    train_rows = min(1 << 20, max(1 << 18, 32 * K))
     ivf = IVFIndex(args.dim, n_clusters=K, quantize="int8",
-                   pad_factor=args.pad_factor)
+                   pad_factor=args.pad_factor, max_train_rows=train_rows)
     q = None
     best_vals = np.full((args.nq, args.k), -np.inf, np.float32)
     best_idx = np.zeros((args.nq, args.k), np.int64)
