@@ -32,6 +32,9 @@ from .tokenization.specb import DEFAULT_BUCKETS, pick_bucket, row_bucket
 
 logger = logging.getLogger(__name__)
 
+# In-flight dispatches before their D2H fetch (see encoder.FETCH_PIPELINE_DEPTH).
+FETCH_PIPELINE_DEPTH = 2
+
 PROMPT_G = ('Documents are searched to find matches with the same content.\n'
             'The document "{}" is a good search result for "')
 
@@ -174,6 +177,18 @@ class CrossEncoderRanker:
         # reference meaning: rows per dispatch at full max_length.
         budget = self.batch_size * self.max_length
         packed = [self._pack(list(c), list(t)) for c, t in keys]
+        # depth-2 fetch pipeline (same as EmbeddingEngine.encode): dispatch is
+        # async, so deferring each batch's D2H by one step overlaps batch i's
+        # compute with host-side packing of batch i+1 and the fetch RPC
+        pending: List[Tuple[List, jax.Array]] = []
+
+        def drain():
+            pbatch, pout = pending.pop(0)
+            vals = np.asarray(pout, np.float64)
+            for bi, key in enumerate(pbatch):
+                for orig in uniq[key]:
+                    scores[orig] = vals[bi]
+
         i = 0
         while i < len(keys):
             # keys are length-descending: the first row's bucket fits all
@@ -223,10 +238,11 @@ class CrossEncoderRanker:
                 out = continuation_scores_gathered(
                     self.params, *arrays, self.cfg, self.vocab_mask,
                     tp_mesh=self._tp_mesh)
-            out = np.asarray(out, np.float64)
-            for bi, key in enumerate(batch):
-                for orig in uniq[key]:
-                    scores[orig] = out[bi]
+            pending.append((batch, out))
+            if len(pending) >= FETCH_PIPELINE_DEPTH:
+                drain()
+        while pending:
+            drain()
         return scores.tolist()
 
     def predict(self, sentences: Sequence[Tuple[str, str]],

@@ -52,6 +52,23 @@ def test_score_matches_reference_algorithm(setup):
         assert abs(g - want) < 1e-3, f"{g} vs {want}"
 
 
+def test_fetch_pipeline_depth_does_not_change_scores(setup):
+    """Depth-2 D2H pipelining is scheduling only — scores are bit-identical."""
+    import sgpt_tpu.crossencoder as ce_mod
+
+    params, cfg, tok = setup
+    ranker = CrossEncoderRanker(params, cfg, tok, batch_size=2, max_length=64)
+    pairs = [(f"query {i}", f"doc {i} " + "w " * (i % 5)) for i in range(9)]
+    assert ce_mod.FETCH_PIPELINE_DEPTH == 2
+    piped = ranker.predict(pairs)
+    ce_mod.FETCH_PIPELINE_DEPTH = 1
+    try:
+        sync = ranker.predict(pairs)
+    finally:
+        ce_mod.FETCH_PIPELINE_DEPTH = 2
+    np.testing.assert_array_equal(piped, sync)
+
+
 def test_relevant_doc_scores_higher_with_overlap(setup):
     params, cfg, tok = setup
     # identical continuation given matching vs non-matching context through a

@@ -42,6 +42,22 @@ def test_order_invariance(engine):
     np.testing.assert_allclose(fwd, rev[::-1], atol=1e-5)
 
 
+def test_fetch_pipeline_depth_does_not_change_results(engine):
+    """The depth-2 D2H pipeline is a pure scheduling change: results must be
+    bit-identical to the synchronous (depth-1) fetch order."""
+    import sgpt_tpu.encoder as enc_mod
+
+    texts = [f"text {i} " + "pad " * (i % 7) for i in range(13)]
+    assert enc_mod.FETCH_PIPELINE_DEPTH == 2
+    piped = engine.encode(texts)
+    enc_mod.FETCH_PIPELINE_DEPTH = 1
+    try:
+        sync = engine.encode(texts)
+    finally:
+        enc_mod.FETCH_PIPELINE_DEPTH = 2
+    np.testing.assert_array_equal(piped, sync)
+
+
 def test_query_doc_specb_differ(engine):
     q = engine.encode(["same text"], is_query=True)
     d = engine.encode(["same text"], is_query=False)

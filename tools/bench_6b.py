@@ -42,6 +42,8 @@ SEQ, N_ITERS = 304, 4
 
 def make_cfg(model: str):
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
     from sgpt_tpu.models import bloom, gpt_j_6b
 

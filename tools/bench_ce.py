@@ -13,6 +13,10 @@ Prints one JSON line per batch size.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -22,6 +26,8 @@ SEQ, N_ITERS = 256, 8
 
 def bench(batch: int, quantize: bool = False) -> dict:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     from sgpt_tpu.models import gpt_neo, init_params, cast_params

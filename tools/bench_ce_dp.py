@@ -23,6 +23,9 @@ os.environ["XLA_FLAGS"] = (flags +
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# NO _guard.require_tpu here: this bench deliberately runs on the virtual
+# CPU mesh (JAX_PLATFORMS=cpu above) — it measures relative dp scaling.
 jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 

@@ -16,6 +16,10 @@ in the timed region; a memoizing relay sees fresh ids).
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -39,6 +43,10 @@ def main():
     from sgpt_tpu.tokenization import SimpleTokenizer
 
     import jax
+
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+
+    _guard.require_tpu(jax)
     cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16, matmul_precision="default",
                                   fused_attention=jax.default_backend() == "tpu")
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)

@@ -13,6 +13,10 @@ uses different texts with the same length distribution.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -25,6 +29,8 @@ def make_texts(rng, n):
 
 def main():
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     import sgpt_tpu.encoder as enc_mod
@@ -41,7 +47,7 @@ def main():
     N = 8192
     orig = enc_mod.row_bucket
     for mode in ("fixed_rows", "token_budget"):
-        enc_mod.row_bucket = (lambda nmax: 32) if mode == "fixed_rows" else orig
+        enc_mod.row_bucket = (lambda nmax, **kw: 32) if mode == "fixed_rows" else orig
         eng = EmbeddingEngine(params, cfg, tok, method="weightedmean",
                               batch_size=32, max_seq_len=300)
         warm = eng.encode(make_texts(np.random.default_rng(0), N))

@@ -18,6 +18,8 @@ from bench import model_flops_per_seq  # single causal-FLOP formula (bench.py)
 
 def bench_encode(batch: int, seq: int, iters: int = 8) -> dict:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     from sgpt_tpu.models import gpt_neo, init_params, cast_params

@@ -7,7 +7,10 @@ the batch is large enough that the fp32 (B,H,T,T) score traffic dominates?
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -15,6 +18,8 @@ import numpy as np
 
 def bench(batch: int, seq: int, use_flash: bool, iters: int = 8) -> dict:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     from sgpt_tpu.models import gpt_neo, init_params, cast_params

@@ -22,6 +22,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def run(cfg, params, ids, mask, iters=8):
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
     from sgpt_tpu.models.decoder import forward
 

@@ -80,6 +80,10 @@ def main():
 
     import jax
 
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+
+    _guard.require_tpu(jax)
+
     from sgpt_tpu.cli.common import build_model
     from sgpt_tpu.encoder import EmbeddingEngine
     from sgpt_tpu.index import DenseIndex

@@ -38,6 +38,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+
+    _guard.require_tpu(jax)
     from sgpt_tpu.index import DenseIndex
 
     print(f"backend={jax.default_backend()} docs={args.docs} dim={args.dim}")

@@ -62,6 +62,8 @@ def _slope_ms(make_chained, reps=3):
 def device_only_ms(ivf, q, k, nprobe):
     """Slope-measured per-search device ms (probe + overflow exact scan)."""
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
     from sgpt_tpu.index_ivf import _probe_search
     from sgpt_tpu.ops.topk import blockmax_topk

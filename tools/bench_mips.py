@@ -10,7 +10,10 @@ to a host fetch.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -20,6 +23,8 @@ Q, D, N_ITERS = 64, 768, 8
 
 def bench(kernel: str, n_docs: int, k: int) -> dict:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     from sgpt_tpu.ops.topk import blockmax_topk

@@ -51,6 +51,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     from sgpt_tpu.models import gpt_neo, init_params, cast_params

@@ -5,6 +5,10 @@ per-step variation, timed to a host fetch of a checksum.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -12,6 +16,8 @@ import numpy as np
 
 def measure_peak_tflops(size: int = 4096, iters: int = 32) -> float:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
 
     k0 = jax.random.key(0)

@@ -25,6 +25,8 @@ SEQ, N_ITERS = 75, 4
 
 def bench(global_batch: int, chunk: int, seq: int = SEQ) -> dict:
     import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
     import jax.numpy as jnp
     import optax
 
