@@ -77,6 +77,10 @@ def main(argv=None):
                     help="persisted-index directory: loaded at startup if it "
                     "exists (skips the corpus re-encode), target of POST "
                     "/save, and auto-saved after an initial --corpus build")
+    ap.add_argument("--allow-save-path", action="store_true",
+                    help="let POST /save clients pass {\"path\": ...} (writes "
+                    "server-side files wherever the client says; off by "
+                    "default — /save targets --index-path)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-wait-ms", type=float, default=3.0,
@@ -132,7 +136,8 @@ def main(argv=None):
 
     server = make_server(service, args.host, args.port,
                          model_name=args.modelname,
-                         index_path=args.index_path)
+                         index_path=args.index_path,
+                         allow_save_path=args.allow_save_path)
     logger.info("serving %s on http://%s:%d (docs=%d)", args.modelname,
                 *server.server_address[:2], len(index))
     try:

@@ -94,6 +94,12 @@ class DenseIndex:
         self._pending_scales = None
         self._pending_count = 0
         self._pending_dirty = False
+        # tombstoned deletions: absolute positions; compacted at build()/save()
+        self._deleted: set = set()
+        self._mask_host = None    # (N_pad,) bool over the BUILT corpus
+        self._row_mask = None     # device copy passed to the search fn
+        self._pending_mask = None  # device (pad,) bool over the pending slab
+        self._id_pos = None       # lazy id -> position map for delete()
 
     # ------------------------------------------------------------------
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
@@ -114,8 +120,60 @@ class DenseIndex:
         self._ids.extend(ids if ids is not None
                          else (str(start + i) for i in range(emb.shape[0])))
         self._count += emb.shape[0]
+        self._id_pos = None
         if self._corpus is not None:
             self._pending_dirty = True
+
+    def _id_positions(self) -> dict:
+        if self._id_pos is None:
+            # duplicates (not produced by this class; callers may) map to the
+            # LAST-added occurrence — the one search surfaces on a score tie
+            self._id_pos = {i: p for p, i in enumerate(self._ids)}
+        return self._id_pos
+
+    def delete(self, ids: Sequence[str]) -> int:
+        """Tombstone documents: their rows score -inf immediately (search
+        results can never include them); the next build() or save() compacts
+        them away. Raises KeyError for unknown/already-deleted ids. Positions
+        and remaining ids are stable until the compacting build()."""
+        if self.kernel == "pallas":
+            raise ValueError("delete() requires kernel='blockmax' (the pallas "
+                             "streaming kernel has no tombstone-mask input)")
+        pos_map = self._id_positions()
+        missing = [i for i in ids
+                   if i not in pos_map or pos_map[i] in self._deleted]
+        if missing:
+            raise KeyError(f"cannot delete unknown ids: {missing[:5]}")
+        built_pos = []
+        touched_pending = False
+        for i in ids:
+            p = pos_map[i]
+            self._deleted.add(p)
+            if p < self._built_count:
+                built_pos.append(p)
+            else:
+                touched_pending = True
+        if built_pos and self._corpus is not None:
+            if self._mask_host is None:
+                self._mask_host = np.ones(self._corpus.shape[0], bool)
+            self._mask_host[built_pos] = False
+            self._push_row_mask()
+            self._search_fn = self._make_search_fn()
+        if touched_pending:
+            self._pending_mask = None  # rebuilt lazily in _search_pending
+        return len(ids)
+
+    def _push_row_mask(self):
+        mask = jnp.asarray(self._mask_host)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mask = jax.device_put(mask, NamedSharding(self.mesh, P("dp")))
+        self._row_mask = mask
+
+    @property
+    def live_count(self) -> int:
+        """Searchable documents: allocated minus tombstoned."""
+        return self._count - len(self._deleted)
 
     @classmethod
     def from_device_embeddings(cls, corpus: jax.Array,
@@ -177,8 +235,8 @@ class DenseIndex:
         chunks = list(self._chunks)
         scale_chunks = list(self._scale_chunks)
         if self._corpus is not None:
-            if not chunks:
-                return self  # nothing pending
+            if not chunks and not self._deleted:
+                return self  # nothing pending, nothing to compact
             built = np.asarray(self._corpus[: self._built_count])
             chunks.insert(0, built.astype(host_dtype))
             if self.quantize == "int8":
@@ -187,6 +245,20 @@ class DenseIndex:
                                   np.float32))
         emb = (np.concatenate(chunks, axis=0) if chunks
                else np.zeros((0, self.dim), host_dtype))
+        all_scales = (np.concatenate(scale_chunks) if scale_chunks
+                      else np.zeros((0,), np.float32))
+        if self._deleted:  # compact tombstones away; positions renumber here
+            keep = np.ones(emb.shape[0], bool)
+            keep[list(self._deleted)] = False
+            emb = emb[keep]
+            if self.quantize == "int8":
+                all_scales = all_scales[keep]
+            self._ids = [i for i, kp in zip(self._ids, keep) if kp]
+            self._deleted = set()
+        self._mask_host = None
+        self._row_mask = None
+        self._pending_mask = None
+        self._id_pos = None
         self._count = emb.shape[0]
         self._built_count = self._count
         n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
@@ -200,9 +272,7 @@ class DenseIndex:
         if self.quantize == "int8":
             arr = jnp.asarray(padded)          # int8 stays int8 on device
             scales = np.ones((n_pad,), np.float32)  # pad rows: harmless scale
-            if scale_chunks:
-                cat = np.concatenate(scale_chunks)
-                scales[: self._count] = cat
+            scales[: self._count] = all_scales
             sc = jnp.asarray(scales)
             if self.mesh is not None:
                 arr = jax.device_put(arr, row_sharding)
@@ -238,7 +308,8 @@ class DenseIndex:
                 return blockmax_topk(queries, self._corpus, self._built_count,
                                      k=k, block_size=block_size,
                                      slab_size=self._slab_eff,
-                                     corpus_scale=self._scales)
+                                     corpus_scale=self._scales,
+                                     row_mask=self._row_mask)
             return search
 
         mesh = self.mesh
@@ -250,8 +321,10 @@ class DenseIndex:
         slab = self._slab_eff if shard_n % self._slab_eff == 0 else shard_n
         from jax.sharding import PartitionSpec as P
         quantized = self.quantize == "int8"
+        masked = self._row_mask is not None  # delete() rebuilds this fn
 
-        def shard_search(queries, corpus_shard, scale_shard, k: int):
+        def shard_search(queries, corpus_shard, scale_shard, mask_shard,
+                         k: int):
             """Runs per device: local exact top-k (slab-scanned when the shard
             exceeds slab_size, so (Q, shard) scores never materialize), then
             ICI-merge."""
@@ -260,7 +333,8 @@ class DenseIndex:
             local_valid = jnp.clip(count - base, 0, shard_n)
             vals, idx = blockmax_topk(queries, corpus_shard, local_valid, k=k,
                                       block_size=block_size, slab_size=slab,
-                                      corpus_scale=scale_shard)
+                                      corpus_scale=scale_shard,
+                                      row_mask=mask_shard)
             idx = idx + base
             # gather all shards' candidates: (n_dev*k) per query, then top-k.
             all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)
@@ -272,17 +346,24 @@ class DenseIndex:
         def search(queries, k: int):
             # check_vma off: outputs ARE replicated (same all_gather + top_k on
             # every device) but the varying-axis checker can't infer that
+            args = [queries, self._corpus]
+            specs = [P(None, None), P("dp", None)]
             if quantized:
-                fn = jax.shard_map(
-                    partial(shard_search, k=k), mesh=mesh,
-                    in_specs=(P(None, None), P("dp", None), P("dp")),
-                    out_specs=(P(), P()), check_vma=False)
-                return fn(queries, self._corpus, self._scales)
-            fn = jax.shard_map(
-                lambda q, c: shard_search(q, c, None, k=k), mesh=mesh,
-                in_specs=(P(None, None), P("dp", None)),
-                out_specs=(P(), P()), check_vma=False)
-            return fn(queries, self._corpus)
+                args.append(self._scales)
+                specs.append(P("dp"))
+            if masked:
+                args.append(self._row_mask)
+                specs.append(P("dp"))
+
+            def body(q, c, *rest):
+                rest = list(rest)
+                scale = rest.pop(0) if quantized else None
+                mask = rest.pop(0) if masked else None
+                return shard_search(q, c, scale, mask, k=k)
+
+            fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                               out_specs=(P(), P()), check_vma=False)
+            return fn(*args)
 
         return search
 
@@ -308,11 +389,20 @@ class DenseIndex:
                 self._pending_arr = jnp.asarray(padded, self.dtype)
             self._pending_count = n
             self._pending_dirty = False
+            self._pending_mask = None
+        if self._pending_mask is None:
+            dead = [p - self._built_count for p in self._deleted
+                    if p >= self._built_count]
+            if dead:
+                m = np.ones(self._pending_arr.shape[0], bool)
+                m[dead] = False
+                self._pending_mask = jnp.asarray(m)
         vals, idx = jax.device_get(          # one batched fetch, not two
             blockmax_topk(qd, self._pending_arr, self._pending_count,
                           k=k, block_size=self.block_size,
                           slab_size=self.slab_size,
-                          corpus_scale=self._pending_scales))
+                          corpus_scale=self._pending_scales,
+                          row_mask=self._pending_mask))
         return vals.astype(np.float32), idx
 
     def search_embeddings(self, query_embeddings, k: int = 10
@@ -324,17 +414,19 @@ class DenseIndex:
         docs. A consistent ragged return beats an ndarray that silently turns
         into a list on the rare under-filled-index case."""
         q = np.asarray(query_embeddings, np.float32)
+        if q.size == 0:  # empty batch (incl. 1-D np.asarray([])) — no work
+            return [], []
         if self._corpus is None and self._chunks:
             raise RuntimeError(
                 "search before build(): added embeddings are still pending — "
                 "call build() first (searching now would silently return "
                 "zero hits)")
-        if self._count == 0:
+        if self.live_count == 0:
             return ([np.zeros((0,), np.float32) for _ in q], [[] for _ in q])
         qd = jnp.asarray(q, self.dtype)
         if self.normalize:
             qd = normalize(qd)
-        k = min(k, self._count)
+        k = min(k, self.live_count)
         # one batched D2H fetch: the dev relay charges a ~30 ms round trip
         # PER np.asarray; device_get on the tuple fetches both in one
         vals, idx = jax.device_get(self._search_fn(qd, k))
@@ -357,7 +449,7 @@ class DenseIndex:
         return [row_v[row_f] for row_v, row_f in zip(vals, finite)], ids
 
     def __len__(self) -> int:
-        return self._count
+        return self.live_count
 
     @property
     def is_built(self) -> bool:
@@ -366,8 +458,9 @@ class DenseIndex:
 
     @property
     def pending_docs(self) -> int:
-        """Docs added since the last build() (scanned via the pending slab)."""
-        return self._count - self._built_count
+        """Live docs added since the last build() (pending-slab scanned)."""
+        dead = sum(1 for p in self._deleted if p >= self._built_count)
+        return self._count - self._built_count - dead
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str):
@@ -386,22 +479,32 @@ class DenseIndex:
                                          np.float32))
         rows.extend(self._chunks)
         scales.extend(self._scale_chunks)
+        all_rows = (np.concatenate(rows) if rows
+                    else np.zeros((0, self.dim),
+                                  np.int8 if self.quantize == "int8"
+                                  else np.float32))
+        all_scales = (np.concatenate(scales) if scales
+                      else np.zeros((0,), np.float32))
+        save_ids = self._ids
+        if self._deleted:  # persist compacted: tombstones never hit disk
+            keep = np.ones(all_rows.shape[0], bool)
+            keep[list(self._deleted)] = False
+            all_rows = all_rows[keep]
+            if self.quantize == "int8":
+                all_scales = all_scales[keep]
+            save_ids = [i for i, kp in zip(self._ids, keep) if kp]
         payload = {
-            "rows": (np.concatenate(rows) if rows
-                     else np.zeros((0, self.dim),
-                                   np.int8 if self.quantize == "int8"
-                                   else np.float32)),
-            "ids": _encode_ids(self._ids),
+            "rows": all_rows,
+            "ids": _encode_ids(save_ids),
             "meta": np.bytes_(json.dumps({
                 "kind": "dense", "dim": self.dim,
                 "normalize": self.normalize, "quantize": self.quantize,
                 "block_size": self.block_size, "dtype": np.dtype(self.dtype).name,
-                "count": self._count, "built": self._corpus is not None,
+                "count": len(save_ids), "built": self._corpus is not None,
             }).encode()),
         }
         if self.quantize == "int8":
-            payload["scales"] = (np.concatenate(scales) if scales
-                                 else np.zeros((0,), np.float32))
+            payload["scales"] = all_scales
         np.savez(path, **payload)
 
     @classmethod

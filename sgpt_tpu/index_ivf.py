@@ -159,8 +159,11 @@ def _probe_overflow_search(q, centroids, blocks, block_ids, scales,
     cost ~110 ms of pure RPC per single query."""
     tv, ti = _probe_search(q, centroids, blocks, block_ids, scales, k,
                            nprobe, quantized)
+    # ov_ids < 0 marks pad slots AND tombstoned deletions: mask them inside
+    # the scan so dead rows never consume candidate slots
     ov_v, ov_i = blockmax_topk(q, ov, ov_count, k=k_ov,
-                               block_size=block_size, corpus_scale=ov_scales)
+                               block_size=block_size, corpus_scale=ov_scales,
+                               row_mask=ov_ids >= 0)
     # map overflow row slots → global doc positions; blockmax's -inf filler
     # slots carry row 0, whose mapped id is a REAL doc — their -inf score
     # keeps them out of any top-k that has genuine candidates left, and the
@@ -218,6 +221,11 @@ class IVFIndex:
         self._pending_scales = None
         self._pending_count = 0
         self._pending_dirty = False
+        # tombstoned deletions (absolute positions); compacted at build()
+        self._deleted: set = set()
+        self._pending_mask = None
+        self._id_pos = None    # lazy id -> position map
+        self._pos_loc = None   # lazy position -> (cluster, slot) | overflow
 
     # ------------------------------------------------------------------
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
@@ -238,11 +246,17 @@ class IVFIndex:
         self._ids.extend(ids if ids is not None
                          else (str(start + i) for i in range(emb.shape[0])))
         self._count += emb.shape[0]
+        self._id_pos = None
         if self._blocks is not None:
             self._pending_dirty = True
 
     def __len__(self) -> int:
-        return self._count
+        return self.live_count
+
+    @property
+    def live_count(self) -> int:
+        """Searchable documents: allocated minus tombstoned."""
+        return self._count - len(self._deleted)
 
     @property
     def is_built(self) -> bool:
@@ -250,7 +264,63 @@ class IVFIndex:
 
     @property
     def pending_docs(self) -> int:
-        return self._count - self._built_count
+        dead = sum(1 for p in self._deleted if p >= self._built_count)
+        return self._count - self._built_count - dead
+
+    # -- deletion ------------------------------------------------------------
+    def _id_positions(self) -> dict:
+        if self._id_pos is None:
+            self._id_pos = {i: p for p, i in enumerate(self._ids)}
+        return self._id_pos
+
+    def _position_locations(self):
+        """Lazy inverse of the block layout: position -> (cluster, slot) or
+        (-1, overflow_slot). Valid until the next build() re-clusters."""
+        if self._pos_loc is None:
+            bi = np.asarray(self._block_ids)
+            loc_c = np.full(self._built_count, -1, np.int32)
+            loc_s = np.full(self._built_count, -1, np.int32)
+            ks, ss = np.nonzero(bi >= 0)
+            loc_c[bi[ks, ss]] = ks
+            loc_s[bi[ks, ss]] = ss
+            ov = np.nonzero(self._overflow_ids >= 0)[0]
+            loc_s[self._overflow_ids[ov]] = ov  # loc_c stays -1 => overflow
+            self._pos_loc = (loc_c, loc_s)
+        return self._pos_loc
+
+    def delete(self, ids: Sequence[str]) -> int:
+        """Tombstone documents: their block/overflow slots drop to id -1 (the
+        search kernels already treat those as -inf), pending rows mask out;
+        the next build() re-clusters without them. Raises KeyError for
+        unknown/already-deleted ids."""
+        pos_map = self._id_positions()
+        missing = [i for i in ids
+                   if i not in pos_map or pos_map[i] in self._deleted]
+        if missing:
+            raise KeyError(f"cannot delete unknown ids: {missing[:5]}")
+        blk_c, blk_s, ov_slots = [], [], []
+        touched_pending = False
+        for i in ids:
+            p = pos_map[i]
+            self._deleted.add(p)
+            if p >= self._built_count:
+                touched_pending = True
+                continue
+            loc_c, loc_s = self._position_locations()
+            if loc_c[p] >= 0:
+                blk_c.append(loc_c[p])
+                blk_s.append(loc_s[p])
+            else:
+                ov_slots.append(loc_s[p])
+        if blk_c:
+            self._block_ids = self._block_ids.at[
+                jnp.asarray(blk_c), jnp.asarray(blk_s)].set(-1)
+        if ov_slots:
+            self._overflow_ids[ov_slots] = -1
+            self._overflow_ids_dev = jnp.asarray(self._overflow_ids)
+        if touched_pending:
+            self._pending_mask = None
+        return len(ids)
 
     # ------------------------------------------------------------------
     def _host_corpus(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
@@ -278,10 +348,28 @@ class IVFIndex:
         """
         if not self._chunks and self._blocks is None:
             raise RuntimeError("build() on an empty index")
-        if self._blocks is not None and not self._chunks:
-            return self  # built, nothing pending
+        if self._blocks is not None and not self._chunks and not self._deleted:
+            return self  # built, nothing pending, nothing to compact
         corpus, scales = self._host_corpus()
+        if self._deleted:  # compact tombstones away; positions renumber here
+            keep = np.ones(corpus.shape[0], bool)
+            keep[list(self._deleted)] = False
+            corpus = corpus[keep]
+            if scales is not None:
+                scales = scales[keep]
+            self._ids = [i for i, kp in zip(self._ids, keep) if kp]
+            self._deleted = set()
         n, d = corpus.shape
+        if n == 0:  # everything was deleted: revert to the empty, un-built state
+            self._centroids = self._blocks = self._block_ids = None
+            self._scales = self._overflow = self._overflow_scales = None
+            self._overflow_ids = self._overflow_ids_dev = None
+            self._overflow_count = self._count = self._built_count = 0
+            self._chunks, self._scale_chunks = [], []
+            self._pending_arr = self._pending_scales = self._pending_mask = None
+            self._pending_count, self._pending_dirty = 0, False
+            self._id_pos = self._pos_loc = None
+            return self
         K = min(self.n_clusters, n)
         rng = np.random.default_rng(self.seed)
 
@@ -375,9 +463,12 @@ class IVFIndex:
         self._overflow_ids_dev = jnp.asarray(ov_ids)
         self._overflow_count = m
         self._built_count = n
+        self._count = n
         self._chunks, self._scale_chunks = [], []
         self._pending_arr, self._pending_scales = None, None
         self._pending_count, self._pending_dirty = 0, False
+        self._pending_mask = None
+        self._id_pos = self._pos_loc = None
         return self
 
     def _rebuild_host_rows(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
@@ -440,6 +531,11 @@ class IVFIndex:
             payload["pending"] = np.concatenate(self._chunks)
             if self.quantize == "int8":
                 payload["pending_scales"] = np.concatenate(self._scale_chunks)
+        if self._deleted:
+            # tombstones persist as positions: the block/overflow -1 slots are
+            # already in the saved arrays, but live_count/delete() bookkeeping
+            # needs the set itself
+            payload["deleted"] = np.asarray(sorted(self._deleted), np.int64)
         np.savez(path, **payload)
 
     @classmethod
@@ -478,13 +574,15 @@ class IVFIndex:
             if meta["quantize"] == "int8":
                 idx._scale_chunks = [z["pending_scales"]]
             idx._pending_dirty = True
+        if "deleted" in z.files:
+            idx._deleted = set(z["deleted"].tolist())
         return idx
 
     # ------------------------------------------------------------------
-    def _scan_slab(self, qd, arr, scales, count, k):
+    def _scan_slab(self, qd, arr, scales, count, k, row_mask=None):
         vals, idx = jax.device_get(           # one batched fetch, not two
             blockmax_topk(qd, arr, count, k=k, block_size=self.block_size,
-                          corpus_scale=scales))
+                          corpus_scale=scales, row_mask=row_mask))
         return vals.astype(np.float32), idx
 
     def _search_pending(self, qd, k: int):
@@ -506,12 +604,21 @@ class IVFIndex:
                 self._pending_scales = None
             self._pending_count = n
             self._pending_dirty = False
+            self._pending_mask = None
+        if self._pending_mask is None:
+            dead = [p - self._built_count for p in self._deleted
+                    if p >= self._built_count]
+            if dead:
+                m = np.ones(self._pending_arr.shape[0], bool)
+                m[dead] = False
+                self._pending_mask = jnp.asarray(m)
         # clamp AFTER the lazy refresh above — _pending_count is stale (even
         # zero) until then, and a k clamped against the stale value would
         # silently drop every pending hit
         return self._scan_slab(qd, self._pending_arr, self._pending_scales,
                                self._pending_count,
-                               min(k, self._pending_count))
+                               min(k, self._pending_count),
+                               row_mask=self._pending_mask)
 
     def search_embeddings(self, query_embeddings, k: int = 10, *,
                           nprobe: Optional[int] = None,
@@ -522,11 +629,15 @@ class IVFIndex:
         memory (Q·nprobe·C_pad·D per chunk); by default it is sized so the
         gather stays under gather_budget bytes."""
         q = np.asarray(query_embeddings, np.float32)
+        if q.size == 0:  # empty batch (incl. 1-D np.asarray([])) — no work
+            return [], []
         if self._blocks is None:
             if self._chunks:
                 raise RuntimeError(
                     "search before build(): added embeddings are still "
                     "pending — call build() first")
+            return ([np.zeros((0,), np.float32) for _ in q], [[] for _ in q])
+        if self.live_count == 0:
             return ([np.zeros((0,), np.float32) for _ in q], [[] for _ in q])
         if self.normalize:
             q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True),
@@ -536,7 +647,7 @@ class IVFIndex:
         if qchunk is None:
             row_bytes = nprobe * c_pad * self.dim * self._blocks.dtype.itemsize
             qchunk = max(1, min(16, self.gather_budget // max(row_bytes, 1)))
-        k_eff = min(k, self._count)
+        k_eff = min(k, self.live_count)
         kc = min(k_eff, nprobe * c_pad)
 
         vals_l, ids_l = [], []

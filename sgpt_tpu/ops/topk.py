@@ -67,7 +67,7 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, valid_count,
 @partial(jax.jit, static_argnames=("k", "block_size", "slab_size"))
 def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
                   k: int = 100, block_size: int = 128,
-                  slab_size: int = 1 << 20, corpus_scale=None):
+                  slab_size: int = 1 << 20, corpus_scale=None, row_mask=None):
     """Exact top-k MIPS via block-max candidate filtering — the fast path.
 
     Why: per-chunk `lax.top_k` over the full score matrix (chunked_topk) costs
@@ -99,6 +99,11 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
     the corpus is quantized), so recall is strictly better than symmetric
     int8×int8. The exactness argument applies to the dequantized scores
     unchanged.
+
+    row_mask: optional (N,) bool — False rows score -inf (tombstoned
+    deletions, DenseIndex.delete). Masking happens BEFORE the block-max
+    filter, so exactness over the live rows is unchanged; the (N,) read is
+    negligible next to the (N, D) corpus scan.
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -119,8 +124,10 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
         assert corpus.dtype == jnp.int8, "corpus_scale implies an int8 corpus"
         scale_slabs = corpus_scale.reshape(n_slabs, slab_size)
         q_bf = queries.astype(jnp.bfloat16)
+    if row_mask is not None:
+        mask_slabs = row_mask.reshape(n_slabs, slab_size)
 
-    def slab_topk(slab, base, scale=None):
+    def slab_topk(slab, base, scale=None, mask=None):
         if corpus_scale is None:
             scores = jnp.einsum("qd,cd->qc", queries, slab,
                                 preferred_element_type=jnp.float32,
@@ -131,6 +138,8 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
             scores = scores * scale[None, :]
         col = base + jnp.arange(slab_size, dtype=jnp.int32)
         scores = jnp.where(col[None, :] < valid_count, scores, NEG)
+        if mask is not None:
+            scores = jnp.where(mask[None, :], scores, NEG)
 
         tiled = scores.reshape(Q, blocks_per_slab, block_size)
         blockmax = jnp.max(tiled, axis=2)                       # (Q, S/B)
@@ -148,7 +157,8 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
         # no scan: also keeps this callable inside shard_map, whose varying-
         # axis rules reject a replicated scan carry meeting shard-varying data
         vals, idx = slab_topk(slabs[0], jnp.int32(0),
-                              None if corpus_scale is None else scale_slabs[0])
+                              None if corpus_scale is None else scale_slabs[0],
+                              None if row_mask is None else mask_slabs[0])
         if vals.shape[1] < k:
             pad_v = jnp.full((Q, k - vals.shape[1]), NEG, jnp.float32)
             pad_i = jnp.zeros((Q, k - idx.shape[1]), jnp.int32)
@@ -160,16 +170,14 @@ def blockmax_topk(queries: jax.Array, corpus: jax.Array, valid_count,
 
     def step(carry, inp):
         run_vals, run_idx = carry
-        if corpus_scale is None:
-            slab_i, slab = inp
-            c_vals, c_doc = slab_topk(slab, slab_i * slab_size)
-        else:
-            slab_i, slab, scale = inp
-            c_vals, c_doc = slab_topk(slab, slab_i * slab_size, scale)
+        c_vals, c_doc = slab_topk(inp["slab"], inp["i"] * slab_size,
+                                  inp.get("scale"), inp.get("mask"))
         return merge_topk(run_vals, run_idx, c_vals, c_doc, k), None
 
-    xs = ((jnp.arange(n_slabs, dtype=jnp.int32), slabs)
-          if corpus_scale is None
-          else (jnp.arange(n_slabs, dtype=jnp.int32), slabs, scale_slabs))
+    xs = {"i": jnp.arange(n_slabs, dtype=jnp.int32), "slab": slabs}
+    if corpus_scale is not None:
+        xs["scale"] = scale_slabs
+    if row_mask is not None:
+        xs["mask"] = mask_slabs
     (vals, idx), _ = jax.lax.scan(step, init, xs)
     return vals, idx

@@ -21,6 +21,8 @@ Endpoints (stdlib `http.server`, JSON bodies):
   POST /search          {"queries": [...], "k": 10, "return_documents": bool}
   POST /documents       add documents to the live index (pending-slab adds:
                         serving keeps answering; POST /rebuild merges)
+  POST /documents/delete  {"ids": [...]} tombstone documents: immediately
+                        unsearchable; storage reclaims at the next rebuild
   POST /rebuild         merge pending docs into the static-shape corpus
   POST /save            persist index + documents to --index-path (restart
                         skips the corpus re-encode)
@@ -184,8 +186,14 @@ class SearchService:
         emb = self.embed(texts, is_query=False)
         with self._lock:
             if ids is None:
-                base = len(self.index)
-                ids = [str(base + i) for i in range(len(texts))]
+                # monotonic probe: len(index) alone would reuse ids after
+                # deletions shrink the live count
+                ids, base = [], len(self.index)
+                for _ in texts:
+                    while str(base) in self.documents:
+                        base += 1
+                    ids.append(str(base))
+                    base += 1
             dup = [i for i in ids if i in self.documents]
             if dup:
                 raise ValueError(f"duplicate document ids: {dup[:5]}")
@@ -195,6 +203,15 @@ class SearchService:
             if build or not self.index.is_built:
                 self.index.build()
         return list(ids)
+
+    def delete_documents(self, ids: Sequence[str]) -> int:
+        """Tombstone documents: immediately unsearchable; storage reclaims at
+        the next rebuild(). Raises KeyError for unknown ids."""
+        with self._lock:
+            n = self.index.delete(list(ids))
+            for i in ids:
+                self.documents.pop(i, None)
+            return n
 
     def rebuild(self) -> int:
         with self._lock:
@@ -329,14 +346,33 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, self._search(body))
             elif self.path == "/documents":
                 self._send(200, self._documents(body))
+            elif self.path == "/documents/delete":
+                ids = body.get("ids")
+                if not isinstance(ids, list) or not all(
+                        isinstance(i, str) for i in ids):
+                    raise ValueError("'ids' must be a list of strings")
+                self._send(200, {"deleted": self.service.delete_documents(ids),
+                                 "documents": self.service.stats()["documents"]})
             elif self.path == "/rebuild":
                 self._send(200, {"documents": self.service.rebuild()})
             elif self.path == "/save":
-                path = body.get("path") or getattr(self.server,
-                                                  "index_path", None)
+                # client-supplied paths are only honored when the server was
+                # built with allow_save_path=True — otherwise a remote client
+                # could write files to arbitrary filesystem locations
+                configured = getattr(self.server, "index_path", None)
+                client_path = body.get("path")
+                if client_path and not getattr(self.server,
+                                               "allow_save_path", False):
+                    self._send(403, {"error": "client-supplied save paths are "
+                                     "disabled; start the server with "
+                                     "allow_save_path=True or use the "
+                                     "configured --index-path"})
+                    return
+                path = client_path or configured
                 if not path:
-                    self._send(400, {"error": "no path: pass {\"path\": ...} "
-                                     "or start the server with --index-path"})
+                    self._send(400, {"error": "no path: start the server with "
+                                     "--index-path (or allow_save_path=True "
+                                     "and pass {\"path\": ...})"})
                 else:
                     self._send(200, self.service.save(path))
             else:
@@ -401,14 +437,18 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(service: SearchService, host: str = "127.0.0.1",
                 port: int = 8080, *, model_name: str = "sgpt-tpu",
-                index_path: Optional[str] = None) -> ThreadingHTTPServer:
+                index_path: Optional[str] = None,
+                allow_save_path: bool = False) -> ThreadingHTTPServer:
     """Bind a ThreadingHTTPServer for `service`; caller runs serve_forever().
 
     port=0 binds an ephemeral port (tests); `server.server_address[1]` holds
-    the actual one. index_path is the default directory for POST /save.
+    the actual one. index_path is the default directory for POST /save;
+    allow_save_path=True additionally lets clients pass {"path": ...}
+    (off by default — it writes server-side files wherever the client says).
     """
     handler = type("BoundHandler", (_Handler,),
                    {"service": service, "model_name": model_name})
     srv = ThreadingHTTPServer((host, port), handler)
     srv.index_path = index_path
+    srv.allow_save_path = allow_save_path
     return srv

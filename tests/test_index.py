@@ -37,6 +37,10 @@ def test_single_device_exact():
         assert set(ids[qi]) == {all_ids[j] for j in want[qi]}
         assert (np.diff(vals[qi]) <= 1e-6).all()  # sorted desc
 
+    # empty query batches are valid no-ops (both (0, D) and 1-D [] shapes)
+    assert idx.search_embeddings(np.zeros((0, 32), np.float32)) == ([], [])
+    assert idx.search_embeddings([]) == ([], [])
+
 
 def test_sharded_matches_single():
     corpus, queries = _data(n=777, d=16, q=5, seed=1)
@@ -286,3 +290,83 @@ def test_incremental_add_sharded():
     assert idx._built_count == 512
     _, ids2 = idx.search_embeddings(queries, k=8)
     assert [list(r) for r in ids2] == [list(r) for r in ids]
+
+
+# -- deletion (tombstone row mask; compaction at build/save) -----------------
+@pytest.mark.parametrize("quantize,mesh_shape", [
+    (None, None), ("int8", None), (None, 8), ("int8", 4)])
+def test_delete_tombstones_then_compact(quantize, mesh_shape):
+    """delete() makes docs unsearchable immediately (exact over live docs);
+    build() compacts them away with identical results."""
+    corpus, queries = _data(n=500, d=24, q=4, seed=21)
+    mesh = make_mesh(dp=mesh_shape) if mesh_shape else None
+    idx = DenseIndex(24, quantize=quantize, mesh=mesh,
+                     dtype=jax.numpy.float32 if quantize is None
+                     else jax.numpy.bfloat16)
+    ids_all = [f"d{i}" for i in range(500)]
+    idx.add(corpus, ids=ids_all)
+    idx.build()
+    _, i0 = idx.search_embeddings(queries, k=3)
+    dele = list({i0[0][0], "d7", "d499"})
+    assert idx.delete(dele) == len(dele)
+    assert len(idx) == 500 - len(dele) and idx.live_count == len(idx)
+
+    _, i1 = idx.search_embeddings(queries, k=5)
+    assert not ({x for r in i1 for x in r} & set(dele))
+    if quantize is None:
+        live = [i for i in range(500) if f"d{i}" not in dele]
+        want = _brute_cosine(queries, corpus[live], 5)
+        for got, w in zip(i1, want):
+            assert set(got) == {f"d{live[j]}" for j in w}
+
+    # pending adds + pending deletes coexist with built tombstones
+    more, _ = _data(n=20, d=24, q=1, seed=22)
+    idx.add(more, ids=[f"p{i}" for i in range(20)])
+    idx.delete(["p0", "p19", "d100"])
+    assert idx.pending_docs == 18
+    _, i2 = idx.search_embeddings(queries, k=8)
+    assert not ({x for r in i2 for x in r} & {"p0", "p19", "d100", *dele})
+
+    idx.build()  # compaction: same results, no tombstones left
+    assert idx._deleted == set() and len(idx) == 520 - len(dele) - 3
+    _, i3 = idx.search_embeddings(queries, k=8)
+    assert [list(r) for r in i3] == [list(r) for r in i2]
+
+    with pytest.raises(KeyError):
+        idx.delete(["not-there"])
+    with pytest.raises(KeyError):   # double delete
+        idx.delete([f"p1"]) and idx.delete(["p1"])
+
+
+def test_delete_persistence_compacts(tmp_path):
+    corpus, queries = _data(n=100, d=16, q=3, seed=23)
+    for quantize in (None, "int8"):
+        idx = DenseIndex(16, quantize=quantize)
+        idx.add(corpus, ids=[f"d{i}" for i in range(100)])
+        idx.build()
+        idx.delete(["d5", "d50"])
+        path = str(tmp_path / f"del_{quantize}.npz")
+        idx.save(path)
+        back = DenseIndex.load(path)
+        assert len(back) == 98 and "d5" not in back._ids
+        _, ia = idx.search_embeddings(queries, k=4)
+        _, ib = back.search_embeddings(queries, k=4)
+        assert [list(r) for r in ia] == [list(r) for r in ib]
+
+
+def test_delete_all_returns_empty():
+    corpus, queries = _data(n=64, d=16, q=2, seed=24)
+    idx = DenseIndex(16)
+    idx.add(corpus[:4], ids=["a", "b", "c", "d"])
+    idx.build()
+    idx.delete(["a", "b", "c", "d"])
+    assert len(idx) == 0
+    vals, ids = idx.search_embeddings(queries, k=3)
+    assert ids == [[], []] and all(v.size == 0 for v in vals)
+
+
+def test_delete_rejects_pallas_kernel():
+    idx = DenseIndex(16, kernel="pallas")
+    idx.add(np.ones((4, 16), np.float32), ids=list("abcd"))
+    with pytest.raises(ValueError, match="blockmax"):
+        idx.delete(["a"])

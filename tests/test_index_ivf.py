@@ -135,6 +135,10 @@ def test_ragged_and_edge_contracts():
     bad = IVFIndex(32)
     with pytest.raises(ValueError, match="expected"):
         bad.add(np.zeros((3, 7)))
+    # empty query batches are valid no-ops (both the (0, D) and the 1-D
+    # np.asarray([]) shape a caller passing [] produces)
+    assert idx.search_embeddings(np.zeros((0, 32), np.float32)) == ([], [])
+    assert idx.search_embeddings([]) == ([], [])
 
 
 def test_search_is_deterministic(mixture_index):
@@ -203,3 +207,91 @@ def test_int8_rows_survive_rebuild_verbatim():
     assert before_ids == after_ids
     for a, b in zip(before_scores, after_scores):
         np.testing.assert_array_equal(a, b)
+
+
+# -- deletion -----------------------------------------------------------------
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_delete_blocks_overflow_pending(quantize):
+    """delete() hides docs immediately whether they live in a cluster block,
+    the overflow slab, or the pending slab; build() compacts; persistence
+    round-trips tombstones."""
+    import jax.numpy as jnp
+
+    emb, rng = _mixture(600, dim=24, centers=6, seed=11)
+    dt = jnp.float32 if quantize is None else jnp.bfloat16
+    idx = IVFIndex(24, n_clusters=6, nprobe=6, quantize=quantize,
+                   pad_factor=1.0, dtype=dt, seed=11)
+    idx.add(emb, ids=[f"d{i}" for i in range(600)])
+    idx.build()
+    assert idx._overflow_count > 0  # pad_factor=1.0 forces spill
+
+    q = emb[:5] + 0.01 * rng.standard_normal((5, 24)).astype(np.float32)
+    _, i0 = idx.search_embeddings(q, k=3)
+    ov_pos = int(idx._overflow_ids[0])          # an overflow member
+    dele = list({i0[0][0], i0[1][0], f"d{ov_pos}", "d599"})
+    assert idx.delete(dele) == len(dele)
+    assert len(idx) == 600 - len(dele)
+
+    _, i1 = idx.search_embeddings(q, k=6)
+    assert not ({x for r in i1 for x in r} & set(dele))
+    if quantize is None:  # nprobe=K -> exact over live docs (fp32 blocks)
+        e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = np.asarray(q) / np.linalg.norm(q, axis=1, keepdims=True)
+        s = qn @ e.T
+        for di in dele:
+            s[:, int(di[1:])] = -np.inf
+        want = [{f"d{j}" for j in np.argsort(-r)[:6]} for r in s]
+        assert [set(r) for r in i1] == want
+
+    # pending adds + pending deletes
+    more, _ = _mixture(30, dim=24, centers=6, seed=12)
+    idx.add(more, ids=[f"p{i}" for i in range(30)])
+    idx.delete(["p0", "p29"])
+    assert idx.pending_docs == 28
+    _, i2 = idx.search_embeddings(q, k=8)
+    assert not ({x for r in i2 for x in r} & {"p0", "p29", *dele})
+
+    idx.build()  # re-cluster without tombstones
+    assert idx._deleted == set() and len(idx) == 630 - len(dele) - 2
+    _, i3 = idx.search_embeddings(q, k=8)
+    assert not ({x for r in i3 for x in r} & {"p0", "p29", *dele})
+
+    with pytest.raises(KeyError):
+        idx.delete(["missing-id"])
+
+
+def test_delete_persists_as_tombstones(tmp_path):
+    emb, rng = _mixture(300, dim=16, centers=4, seed=13)
+    q = emb[:3]
+    idx = IVFIndex(16, n_clusters=4, nprobe=4, seed=13)
+    idx.add(emb, ids=[f"d{i}" for i in range(300)])
+    idx.build()
+    idx.delete(["d0", "d7", "d299"])
+    path = str(tmp_path / "ivf_del.npz")
+    idx.save(path)
+    back = IVFIndex.load(path)
+    assert len(back) == 297
+    _, ia = idx.search_embeddings(q, k=5)
+    _, ib = back.search_embeddings(q, k=5)
+    assert [list(r) for r in ia] == [list(r) for r in ib]
+    with pytest.raises(KeyError):   # tombstone state survived the round-trip
+        back.delete(["d7"])
+    back.build()                    # load -> compact works
+    assert back._deleted == set() and len(back) == 297
+
+
+def test_delete_everything_reverts_to_empty():
+    emb, _ = _mixture(40, dim=16, centers=2, seed=14)
+    idx = IVFIndex(16, n_clusters=2, seed=14)
+    idx.add(emb[:4], ids=list("abcd"))
+    idx.build()
+    idx.delete(list("abcd"))
+    assert len(idx) == 0
+    vals, ids = idx.search_embeddings(emb[:2], k=3)
+    assert ids == [[], []]
+    idx.build()                     # compacting an all-deleted index
+    assert not idx.is_built and len(idx) == 0
+    idx.add(emb[4:8], ids=list("efgh"))   # and it accepts new docs again
+    idx.build()
+    _, ids = idx.search_embeddings(emb[4:5], k=1)
+    assert ids[0] == ["e"]

@@ -252,6 +252,64 @@ def test_http_bad_requests(server):
         conn.close()
 
 
+def test_http_delete_documents(server, service):
+    """POST /documents/delete hides docs immediately; auto-assigned ids never
+    reuse a deleted id's number."""
+    status, out = _post(server, "/documents",
+                        {"documents": [{"id": "del-a", "text": "delete me aa"},
+                                       {"id": "del-b", "text": "delete me bb"}],
+                         "build": True})
+    assert status == 200
+    status, out = _post(server, "/search",
+                        {"queries": ["delete me aa"], "k": 2})
+    assert out["results"][0][0]["id"] == "del-a"
+    status, out = _post(server, "/documents/delete", {"ids": ["del-a"]})
+    assert status == 200 and out["deleted"] == 1
+    status, out = _post(server, "/search",
+                        {"queries": ["delete me aa"], "k": 5})
+    assert "del-a" not in [h["id"] for h in out["results"][0]]
+    # unknown id -> 400, not 500
+    assert _post(server, "/documents/delete", {"ids": ["nope"]})[0] == 400
+    assert _post(server, "/documents/delete", {"ids": "x"})[0] == 400
+    # auto ids keep probing past existing numbers after deletions
+    n_before = service.stats()["documents"]
+    status, out = _post(server, "/documents",
+                        {"texts": ["auto id doc one", "auto id doc two"]})
+    assert status == 200 and len(set(out["ids"])) == 2
+    assert all(i not in ("del-a",) for i in out["ids"])
+    _post(server, "/documents/delete", {"ids": ["del-b", *out["ids"]]})
+
+
+def test_http_empty_queries_and_inputs(server):
+    """Empty batches are valid no-ops, not 500s."""
+    status, out = _post(server, "/search", {"queries": []})
+    assert status == 200 and out["results"] == []
+    status, out = _post(server, "/v1/embeddings", {"input": []})
+    assert status == 200 and out["data"] == []
+
+
+def test_http_save_client_path_rejected_by_default(server, tmp_path):
+    """POST /save with a client-supplied path is refused unless the server
+    was built with allow_save_path=True (server-side file-write hazard)."""
+    status, out = _post(server, "/save", {"path": str(tmp_path / "x")})
+    assert status == 403 and "disabled" in out["error"]
+    # no configured --index-path either -> 400
+    assert _post(server, "/save", {})[0] == 400
+
+
+def test_http_save_allowed_when_opted_in(service, tmp_path):
+    srv = make_server(service, port=0, allow_save_path=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, out = _post(srv, "/save", {"path": str(tmp_path / "idx")})
+        # >=: the module-scoped service accumulates docs from earlier tests
+        assert status == 200 and out["texts"] >= len(DOCS)
+        assert (tmp_path / "idx" / "index.npz").exists()
+    finally:
+        srv.shutdown()
+
+
 def test_concurrent_http_searches_coalesce(server, service):
     """Many single-query clients in flight at once: all answered correctly,
     and the encode dispatch count stays below one-per-request."""
