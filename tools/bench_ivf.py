@@ -43,7 +43,8 @@ def time_search(index, q, k, iters=10, **kw):
     return round(float(np.median(lat) * 1000), 2)
 
 
-R_LO, R_HI = 64, 320
+R_LO = int(os.environ.get("BENCH_IVF_RLO", 64))    # overridable for CPU
+R_HI = int(os.environ.get("BENCH_IVF_RHI", 320))   # smoke tests of the tool
 
 
 def _slope_ms(make_chained, reps=3):
@@ -143,6 +144,10 @@ def main():
     ap.add_argument("--pad-factor", type=float, default=1.5)
     ap.add_argument("--skip-exact", action="store_true",
                     help="skip the exact-scan baseline (faster reruns)")
+    ap.add_argument("--corpus-cache", default=None,
+                    help="npz path: persist the generated int8 corpus + "
+                    "oracle on first run, reuse on reruns (the 10M gen "
+                    "costs ~40 min of single-core numpy)")
     args = ap.parse_args()
     K = args.clusters or max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
 
@@ -162,6 +167,22 @@ def main():
     train_rows = min(1 << 20, max(1 << 18, 32 * K))
     ivf = IVFIndex(args.dim, n_clusters=K, quantize="int8",
                    pad_factor=args.pad_factor, max_train_rows=train_rows)
+    cache = args.corpus_cache
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        assert z["rows"].shape == (args.ndocs, args.dim), \
+            "corpus cache was generated with different --ndocs/--dim"
+        q, best_idx = z["q"], z["oracle"]
+        # NOT filter(None, ...): an empty index is len()==0 and thus falsy
+        for idx_obj in (o for o in (exact, ivf) if o is not None):
+            # inject the pre-quantized rows directly (add() expects floats)
+            idx_obj._chunks = [z["rows"]]
+            idx_obj._scale_chunks = [z["scales"]]
+            idx_obj._ids = [str(i) for i in range(args.ndocs)]
+            idx_obj._count = args.ndocs
+        print(f"  corpus cache hit: {cache}", file=sys.stderr)
+        oracle = [set(row) for row in best_idx]
+        return _run_indexes(args, K, exact, ivf, q, oracle)
     q = None
     best_vals = np.full((args.nq, args.k), -np.inf, np.float32)
     best_idx = np.zeros((args.nq, args.k), np.int64)
@@ -192,7 +213,16 @@ def main():
         print(f"  gen+add {s + n}/{args.ndocs} "
               f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
     oracle = [set(row) for row in best_idx]
+    if cache:
+        src = ivf if exact is None else exact
+        np.savez(cache, rows=np.concatenate(src._chunks),
+                 scales=np.concatenate(src._scale_chunks),
+                 q=q, oracle=best_idx)
+        print(f"  corpus cache saved: {cache}", file=sys.stderr)
+    return _run_indexes(args, K, exact, ivf, q, oracle)
 
+
+def _run_indexes(args, K, exact, ivf, q, oracle):
     def recall(ids_lists):
         hit = sum(len({int(i) for i in r} & o)
                   for r, o in zip(ids_lists, oracle))
