@@ -60,6 +60,46 @@ def test_fuzz_blockmax_topk_vs_numpy():
             assert (i[q] < N).all()
 
 
+def test_fuzz_blockmax_row_mask_vs_numpy():
+    """row_mask (tombstoned deletions) must yield the exact top-k over the
+    unmasked rows for any mask/shape/slab combination."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        Q = int(rng.integers(1, 7))
+        N = int(rng.integers(2, 600))
+        D = int(rng.integers(4, 40))
+        block = int(rng.choice([8, 16, 128]))
+        slab = int(rng.choice([64, 256, 1 << 20]))
+        corpus = rng.normal(size=(N, D))
+        queries = rng.normal(size=(Q, D))
+        mask = rng.random(N) > rng.uniform(0.05, 0.9)  # arbitrary dead rows
+        live = int(mask.sum())
+        if live == 0:
+            mask[int(rng.integers(0, N))] = True
+            live = 1
+        kk = min(int(rng.integers(1, 50)), live)
+
+        pad_to = -(-N // block) * block
+        cp = np.zeros((pad_to, D))
+        cp[:N] = corpus
+        mp = np.zeros(pad_to, bool)
+        mp[:N] = mask
+        s, i = blockmax_topk(jnp.asarray(queries, jnp.float32),
+                             jnp.asarray(cp, jnp.float32), N,
+                             k=kk, block_size=block, slab_size=slab,
+                             row_mask=jnp.asarray(mp))
+        s, i = np.asarray(s), np.asarray(i)
+        true = (queries @ corpus.T).astype(np.float32)
+        true[:, ~mask] = -np.inf
+        want = _np_topk(true, kk)
+        np.testing.assert_allclose(np.sort(-s, axis=1) * -1, want,
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"trial {trial}: Q={Q} N={N} "
+                                           f"k={kk} live={live} block={block}")
+        for q in range(Q):
+            assert mask[i[q][s[q] > -1e30]].all()  # no dead row surfaces
+
+
 def test_fuzz_dense_index_vs_bruteforce():
     rng = np.random.default_rng(11)
     for trial in range(12):
