@@ -148,7 +148,12 @@ def main():
                     help="npz path: persist the generated int8 corpus + "
                     "oracle on first run, reuse on reruns (the 10M gen "
                     "costs ~40 min of single-core numpy)")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate + save --corpus-cache and exit without "
+                    "touching the device (pre-generate while the TPU is busy)")
     args = ap.parse_args()
+    if args.gen_only and not args.corpus_cache:
+        ap.error("--gen-only requires --corpus-cache")
     K = args.clusters or max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
 
     from sgpt_tpu.index import DenseIndex
@@ -219,6 +224,10 @@ def main():
                  scales=np.concatenate(src._scale_chunks),
                  q=q, oracle=best_idx)
         print(f"  corpus cache saved: {cache}", file=sys.stderr)
+    if args.gen_only:
+        print(json.dumps({"gen_only": True, "ndocs": args.ndocs,
+                          "cache": cache}))
+        return None
     return _run_indexes(args, K, exact, ivf, q, oracle)
 
 
