@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .config import DecoderConfig
 
-NEG_INF = jnp.float32(-1e9)
+NEG_INF = -1e9  # python float: module-level jnp scalars initialize the backend at import
 
 
 # ---------------------------------------------------------------------------

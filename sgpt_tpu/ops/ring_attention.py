@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG = jnp.float32(-1e30)
+NEG = -1e30  # python float: module-level jnp scalars initialize the backend at import
 
 
 def _local_ring_step(q, kv_k, kv_v, kv_mask, q_pos, kv_start, state, scale,
@@ -81,7 +81,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # the replicated init must be typed shard-varying so the loop carry
         # (which mixes with per-shard data) type-checks under shard_map
         state = jax.lax.pcast(
-            (jnp.full((B, H, T_local, 1), NEG),
+            (jnp.full((B, H, T_local, 1), NEG, jnp.float32),
              jnp.zeros((B, H, T_local, 1), jnp.float32),
              jnp.zeros((B, H, T_local, Dh), jnp.float32)),
             (axis,), to="varying")

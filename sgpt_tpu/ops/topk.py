@@ -14,7 +14,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.float32(-jnp.inf)
+NEG = float("-inf")  # python float: a jnp scalar here would CREATE a
+# device array at import time and grab/initialize the default backend
+# (single-client TPU relay!) before the caller can pick a platform
 
 
 def merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
