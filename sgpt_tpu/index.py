@@ -40,6 +40,21 @@ def _decode_ids(buf: np.ndarray) -> List[str]:
     return raw.split("\n") if raw else []
 
 
+def _compact_deleted(rows: np.ndarray, scales: Optional[np.ndarray],
+                     ids: List[str], deleted: set, quantized: bool):
+    """Drop tombstoned absolute positions from position-ordered host state.
+
+    One implementation for every compaction site (DenseIndex build/save,
+    IVFIndex build) so the served and persisted corpora can never drift."""
+    keep = np.ones(rows.shape[0], bool)
+    keep[list(deleted)] = False
+    rows = rows[keep]
+    if quantized:
+        scales = scales[keep]
+    ids = [i for i, kp in zip(ids, keep) if kp]
+    return rows, scales, ids
+
+
 class DenseIndex:
     """Exact MIPS index over (possibly mesh-sharded) corpus embeddings."""
 
@@ -139,6 +154,9 @@ class DenseIndex:
         if self.kernel == "pallas":
             raise ValueError("delete() requires kernel='blockmax' (the pallas "
                              "streaming kernel has no tombstone-mask input)")
+        ids = list(ids)
+        if len(set(ids)) != len(ids):  # same contract as two sequential calls
+            raise KeyError("duplicate ids in one delete() call")
         pos_map = self._id_positions()
         missing = [i for i in ids
                    if i not in pos_map or pos_map[i] in self._deleted]
@@ -248,12 +266,9 @@ class DenseIndex:
         all_scales = (np.concatenate(scale_chunks) if scale_chunks
                       else np.zeros((0,), np.float32))
         if self._deleted:  # compact tombstones away; positions renumber here
-            keep = np.ones(emb.shape[0], bool)
-            keep[list(self._deleted)] = False
-            emb = emb[keep]
-            if self.quantize == "int8":
-                all_scales = all_scales[keep]
-            self._ids = [i for i, kp in zip(self._ids, keep) if kp]
+            emb, all_scales, self._ids = _compact_deleted(
+                emb, all_scales, self._ids, self._deleted,
+                self.quantize == "int8")
             self._deleted = set()
         self._mask_host = None
         self._row_mask = None
@@ -487,12 +502,9 @@ class DenseIndex:
                       else np.zeros((0,), np.float32))
         save_ids = self._ids
         if self._deleted:  # persist compacted: tombstones never hit disk
-            keep = np.ones(all_rows.shape[0], bool)
-            keep[list(self._deleted)] = False
-            all_rows = all_rows[keep]
-            if self.quantize == "int8":
-                all_scales = all_scales[keep]
-            save_ids = [i for i, kp in zip(self._ids, keep) if kp]
+            all_rows, all_scales, save_ids = _compact_deleted(
+                all_rows, all_scales, self._ids, self._deleted,
+                self.quantize == "int8")
         payload = {
             "rows": all_rows,
             "ids": _encode_ids(save_ids),

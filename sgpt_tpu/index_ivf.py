@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .index import _decode_ids, _encode_ids
+from .index import _compact_deleted, _decode_ids, _encode_ids
 from .ops.pooling import normalize
 from .ops.topk import blockmax_topk
 
@@ -293,6 +293,9 @@ class IVFIndex:
         search kernels already treat those as -inf), pending rows mask out;
         the next build() re-clusters without them. Raises KeyError for
         unknown/already-deleted ids."""
+        ids = list(ids)
+        if len(set(ids)) != len(ids):  # same contract as two sequential calls
+            raise KeyError("duplicate ids in one delete() call")
         pos_map = self._id_positions()
         missing = [i for i in ids
                    if i not in pos_map or pos_map[i] in self._deleted]
@@ -352,12 +355,9 @@ class IVFIndex:
             return self  # built, nothing pending, nothing to compact
         corpus, scales = self._host_corpus()
         if self._deleted:  # compact tombstones away; positions renumber here
-            keep = np.ones(corpus.shape[0], bool)
-            keep[list(self._deleted)] = False
-            corpus = corpus[keep]
-            if scales is not None:
-                scales = scales[keep]
-            self._ids = [i for i, kp in zip(self._ids, keep) if kp]
+            corpus, scales, self._ids = _compact_deleted(
+                corpus, scales, self._ids, self._deleted,
+                self.quantize == "int8")
             self._deleted = set()
         n, d = corpus.shape
         if n == 0:  # everything was deleted: revert to the empty, un-built state

@@ -158,6 +158,10 @@ class SearchService:
         self.index = index if index is not None else DenseIndex(
             engine.out_dim, normalize_embeddings=True, **(index_kw or {}))
         self.documents: Dict[str, str] = dict(documents or {})
+        # ids ever deleted this process: the auto-id probe must skip them even
+        # after delete_documents() pops them from self.documents, or a new
+        # document could silently reuse a deleted id
+        self._tombstoned_ids: set = set()
         self._lock = threading.RLock()
         self._t0 = time.monotonic()
         self._queries_served = 0
@@ -190,7 +194,8 @@ class SearchService:
                 # deletions shrink the live count
                 ids, base = [], len(self.index)
                 for _ in texts:
-                    while str(base) in self.documents:
+                    while (str(base) in self.documents
+                           or str(base) in self._tombstoned_ids):
                         base += 1
                     ids.append(str(base))
                     base += 1
@@ -211,6 +216,7 @@ class SearchService:
             n = self.index.delete(list(ids))
             for i in ids:
                 self.documents.pop(i, None)
+                self._tombstoned_ids.add(i)
             return n
 
     def rebuild(self) -> int:

@@ -271,13 +271,22 @@ def test_http_delete_documents(server, service):
     # unknown id -> 400, not 500
     assert _post(server, "/documents/delete", {"ids": ["nope"]})[0] == 400
     assert _post(server, "/documents/delete", {"ids": "x"})[0] == 400
+    # duplicate ids within one delete call -> 400 (same contract as two calls)
+    assert _post(server, "/documents/delete",
+                 {"ids": ["del-b", "del-b"]})[0] == 400
     # auto ids keep probing past existing numbers after deletions
-    n_before = service.stats()["documents"]
     status, out = _post(server, "/documents",
                         {"texts": ["auto id doc one", "auto id doc two"]})
     assert status == 200 and len(set(out["ids"])) == 2
     assert all(i not in ("del-a",) for i in out["ids"])
-    _post(server, "/documents/delete", {"ids": ["del-b", *out["ids"]]})
+    # deleting an auto id must NOT let the next add reuse it (the delete pops
+    # it from service.documents; the probe also checks the tombstone set)
+    victim = out["ids"][0]
+    _post(server, "/documents/delete", {"ids": [victim]})
+    status, out2 = _post(server, "/documents", {"texts": ["auto id doc three"]})
+    assert status == 200 and victim not in out2["ids"], (victim, out2)
+    _post(server, "/documents/delete", {"ids": ["del-b", out["ids"][1],
+                                                *out2["ids"]]})
 
 
 def test_http_empty_queries_and_inputs(server):

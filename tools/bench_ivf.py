@@ -177,6 +177,8 @@ def main():
         z = np.load(cache)
         assert z["rows"].shape == (args.ndocs, args.dim), \
             "corpus cache was generated with different --ndocs/--dim"
+        assert z["oracle"].shape == (args.nq, args.k), \
+            "corpus cache oracle was generated with different --nq/--k"
         q, best_idx = z["q"], z["oracle"]
         # NOT filter(None, ...): an empty index is len()==0 and thus falsy
         for idx_obj in (o for o in (exact, ivf) if o is not None):
@@ -232,6 +234,13 @@ def main():
 
 
 def _run_indexes(args, K, exact, ivf, q, oracle):
+    # guard the WHOLE measured path, not just the slope chains: a silent CPU
+    # fallback would otherwise burn hours of build/wall measurements printing
+    # ~100x-slow garbage rows before device_only_ms() finally checked
+    import jax
+    import _guard  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+    _guard.require_tpu(jax)
+
     def recall(ids_lists):
         hit = sum(len({int(i) for i in r} & o)
                   for r, o in zip(ids_lists, oracle))
