@@ -289,6 +289,25 @@ def test_http_delete_documents(server, service):
                                                 *out2["ids"]]})
 
 
+def test_http_delete_then_readd_same_id_is_upsert(server):
+    """Explicit re-add of a deleted id is allowed (delete+add = upsert): the
+    new document wins searches; the tombstoned row stays hidden."""
+    _post(server, "/documents",
+          {"documents": [{"id": "ups", "text": "original upsert text"}],
+           "build": True})
+    _post(server, "/documents/delete", {"ids": ["ups"]})
+    status, out = _post(server, "/documents",
+                        {"documents": [{"id": "ups",
+                                        "text": "replacement upsert text"}]})
+    assert status == 200
+    status, out = _post(server, "/search",
+                        {"queries": ["replacement upsert text"], "k": 1,
+                         "return_documents": True})
+    hit = out["results"][0][0]
+    assert hit["id"] == "ups" and hit["document"] == "replacement upsert text"
+    _post(server, "/documents/delete", {"ids": ["ups"]})
+
+
 def test_http_empty_queries_and_inputs(server):
     """Empty batches are valid no-ops, not 500s."""
     status, out = _post(server, "/search", {"queries": []})
