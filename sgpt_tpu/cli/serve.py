@@ -102,12 +102,9 @@ def main(argv=None):
         normalize_embeddings=True, mesh=mesh, quantize=args.quantize)
     if args.index == "ivf":
         from ..index_ivf import IVFIndex
-        if mesh is not None:
-            raise SystemExit("--index ivf is single-device for now; "
-                             "use --index exact with --dp for a mesh")
         index = IVFIndex(engine.out_dim, n_clusters=args.clusters,
                          nprobe=args.nprobe, normalize_embeddings=True,
-                         quantize=args.quantize_index)
+                         quantize=args.quantize_index, mesh=mesh)
     else:
         index = DenseIndex(engine.out_dim, normalize_embeddings=True,
                            mesh=mesh, quantize=args.quantize_index)
@@ -115,7 +112,7 @@ def main(argv=None):
     loaded = False
     if args.index_path and os.path.exists(
             os.path.join(args.index_path, "index.npz")):
-        index, documents = SearchService.load_index(args.index_path)
+        index, documents = SearchService.load_index(args.index_path, mesh=mesh)
         if getattr(index, "dim", None) != engine.out_dim:
             raise SystemExit(f"--index-path holds dim={index.dim} embeddings "
                              f"but the model produces {engine.out_dim}")

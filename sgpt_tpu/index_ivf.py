@@ -174,6 +174,77 @@ def _probe_overflow_search(q, centroids, blocks, block_ids, scales,
     return top_vals, jnp.take_along_axis(gi, pos, axis=1)
 
 
+def _make_sharded_probe(mesh, k_local: int, k_real: int, quantized: bool,
+                        block_size: int, kc: int, k_ov: int,
+                        nprobe_local: int, k_final: int):
+    """Probe + overflow scan + ICI merge over the mesh's dp axis.
+
+    Cluster blocks are sharded contiguously over dp (cluster c on shard
+    c // k_local); each device probes its OWN centroid slice with
+    nprobe_local probes and scans its overflow row slice, then per-device
+    candidates all_gather and a final top_k picks k_final — the same
+    merge shape as DenseIndex's sharded search. Per-device HBM read is
+    nprobe_local blocks, so latency divides by dp at equal total probes.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(q, cent, blocks, bids, *rest):
+        rest = list(rest)
+        scales = rest.pop(0) if quantized else None
+        ov = rest.pop(0)
+        ovs = rest.pop(0) if quantized else None
+        ovids = rest.pop(0)
+        rank = jax.lax.axis_index("dp")
+        Q = q.shape[0]
+        cs = q @ cent.T                                  # (Q, K/dp)
+        gc = rank * k_local + jnp.arange(k_local)
+        cs = jnp.where(gc[None, :] < k_real, cs, -jnp.inf)  # pad clusters out
+        probe = jax.lax.top_k(cs, nprobe_local)[1]
+        qc = q.astype(jnp.bfloat16 if quantized else blocks.dtype)
+        flat_probe = probe.reshape(-1)
+        q_for = jnp.repeat(qc, nprobe_local, axis=0)
+
+        def score_one(args):
+            c, qv = args
+            blk = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
+            ids = jax.lax.dynamic_index_in_dim(bids, c, 0, keepdims=False)
+            s = jnp.einsum("cd,d->c", blk.astype(qv.dtype), qv,
+                           preferred_element_type=jnp.float32)
+            if quantized:
+                s = s * jax.lax.dynamic_index_in_dim(scales, c, 0,
+                                                     keepdims=False)
+            return jnp.where(ids < 0, -jnp.inf, s), ids
+
+        sc, gid = jax.lax.map(score_one, (flat_probe, q_for))
+        tv, pos = jax.lax.top_k(sc.reshape(Q, -1), kc)
+        ti = jnp.take_along_axis(gid.reshape(Q, -1), pos, axis=1)
+        # local overflow slice: row_mask covers pad slots, tombstones AND
+        # (when there is no overflow at all) the all -1 placeholder rows
+        ov_v, ov_i = blockmax_topk(q, ov, ov.shape[0], k=k_ov,
+                                   block_size=block_size, corpus_scale=ovs,
+                                   row_mask=ovids >= 0)
+        gi = jnp.concatenate([ti, ovids[ov_i]], axis=1)
+        gv = jnp.concatenate([tv, ov_v], axis=1)
+        all_v = jax.lax.all_gather(gv, "dp", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, "dp", axis=1, tiled=True)
+        fv, p = jax.lax.top_k(all_v, min(k_final, all_v.shape[1]))
+        return fv, jnp.take_along_axis(all_i, p, axis=1)
+
+    in_specs = [P(None, None), P("dp", None), P("dp", None, None),
+                P("dp", None)]
+    if quantized:
+        in_specs.append(P("dp", None))   # block scales
+    in_specs.append(P("dp", None))       # overflow rows
+    if quantized:
+        in_specs.append(P("dp"))         # overflow scales
+    in_specs.append(P("dp"))             # overflow ids
+    # check_vma off: outputs ARE replicated (same all_gather + top_k on every
+    # device) but the varying-axis checker can't infer that
+    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
 class IVFIndex:
     """Balanced IVF-flat approximate index (duck-type compatible with
     DenseIndex: add / build / search_embeddings / __len__ / pending_docs)."""
@@ -184,9 +255,17 @@ class IVFIndex:
                  max_train_rows: int = 1 << 18, assign_chunk: int = 1 << 20,
                  nprobe: int = 32, seed: int = 0,
                  dtype=jnp.bfloat16, quantize: Optional[str] = None,
-                 block_size: int = 128, gather_budget: int = 1 << 28):
+                 block_size: int = 128, gather_budget: int = 1 << 28,
+                 mesh=None):
+        """mesh: a dp Mesh shards the cluster blocks (and overflow rows) over
+        the data axis — k-means/assignment stay global, cluster c's block
+        lives on shard c // (K/dp), every shard probes its own centroid slice
+        with ceil(nprobe/dp) probes and candidates merge over ICI. `nprobe`
+        keeps meaning TOTAL probed clusters, so per-device block reads (the
+        latency term) divide by dp at equal total work."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.mesh = mesh
         self.dim = dim
         self.n_clusters = n_clusters
         self.normalize = normalize_embeddings
@@ -226,8 +305,72 @@ class IVFIndex:
         self._pending_mask = None
         self._id_pos = None    # lazy id -> position map
         self._pos_loc = None   # lazy position -> (cluster, slot) | overflow
+        self._k_real = 0       # live clusters (K pads to a dp multiple)
+        self._sharded_fns: dict = {}  # (kc, k_ov, np_local, k_final) -> jit
 
     # ------------------------------------------------------------------
+    def _install_layout(self, cent, blocks, block_ids, block_scales,
+                        ov_rows, ov_scale_vals, ov_id_vals, k_real: int):
+        """Place a host block layout on device(s): pad K to the mesh's dp
+        multiple (padded clusters: zero centroids, -1 ids, masked out of the
+        probe by _k_real), pad/shard the overflow slab. build() and load()
+        share this, so a saved index reloads onto ANY mesh shape.
+
+        cent (K, D) fp32; blocks (K, C_pad, D); block_ids (K, C_pad);
+        ov_rows (m, D) UNPADDED; ov_id_vals (m,) global doc positions."""
+        host_dtype = np.int8 if self.quantize == "int8" else np.float32
+        c_pad, d = blocks.shape[1], blocks.shape[2]
+        self._k_real = k_real
+        n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
+        k_pad = _round_up(k_real, n_dev)
+        if k_pad != blocks.shape[0]:
+            blocks = np.concatenate(
+                [blocks[:k_real],
+                 np.zeros((k_pad - k_real, c_pad, d), host_dtype)])
+            block_ids = np.concatenate(
+                [block_ids[:k_real],
+                 np.full((k_pad - k_real, c_pad), -1, np.int32)])
+            if block_scales is not None:
+                block_scales = np.concatenate(
+                    [block_scales[:k_real],
+                     np.ones((k_pad - k_real, c_pad), np.float32)])
+            cent = np.concatenate(
+                [cent[:k_real], np.zeros((k_pad - k_real, d), np.float32)])
+        self._centroids = self._put(jnp.asarray(cent, jnp.float32),
+                                    ("dp", None))
+        self._block_ids = self._put(jnp.asarray(block_ids), ("dp", None))
+        self._blocks = self._put(
+            jnp.asarray(blocks) if self.quantize == "int8"
+            else jnp.asarray(blocks, self.dtype), ("dp", None, None))
+        self._scales = (self._put(jnp.asarray(block_scales), ("dp", None))
+                        if block_scales is not None else None)
+        m = ov_rows.shape[0]
+        m_pad = _round_up(max(m, 1), self.block_size * n_dev)
+        ov = np.zeros((m_pad, d), host_dtype)
+        ov_ids = np.full((m_pad,), -1, np.int32)
+        ov[:m] = ov_rows
+        ov_ids[:m] = ov_id_vals
+        if self.quantize == "int8":
+            # pad rows: harmless scale 1.0 (their int8 rows are zero anyway)
+            ov_scales = np.ones((m_pad,), np.float32)
+            ov_scales[:m] = ov_scale_vals
+            self._overflow = self._put(jnp.asarray(ov), ("dp", None))
+            self._overflow_scales = self._put(jnp.asarray(ov_scales), ("dp",))
+        else:
+            self._overflow = self._put(jnp.asarray(ov, self.dtype),
+                                       ("dp", None))
+            self._overflow_scales = None
+        self._overflow_ids = ov_ids
+        self._overflow_ids_dev = self._put(jnp.asarray(ov_ids), ("dp",))
+        self._overflow_count = m
+
+    def _put(self, arr, spec):
+        """device_put with a NamedSharding when a mesh is set; no-op else."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+
     def add(self, embeddings, ids: Optional[Sequence[str]] = None):
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim != 2 or emb.shape[1] != self.dim:
@@ -316,11 +459,12 @@ class IVFIndex:
             else:
                 ov_slots.append(loc_s[p])
         if blk_c:
-            self._block_ids = self._block_ids.at[
-                jnp.asarray(blk_c), jnp.asarray(blk_s)].set(-1)
+            self._block_ids = self._put(self._block_ids.at[
+                jnp.asarray(blk_c), jnp.asarray(blk_s)].set(-1), ("dp", None))
         if ov_slots:
             self._overflow_ids[ov_slots] = -1
-            self._overflow_ids_dev = jnp.asarray(self._overflow_ids)
+            self._overflow_ids_dev = self._put(
+                jnp.asarray(self._overflow_ids), ("dp",))
         if touched_pending:
             self._pending_mask = None
         return len(ids)
@@ -369,6 +513,7 @@ class IVFIndex:
             self._pending_arr = self._pending_scales = self._pending_mask = None
             self._pending_count, self._pending_dirty = 0, False
             self._id_pos = self._pos_loc = None
+            self._k_real = 0
             return self
         K = min(self.n_clusters, n)
         rng = np.random.default_rng(self.seed)
@@ -437,31 +582,19 @@ class IVFIndex:
                         "C_pad=%d; they are exact-scanned each search",
                         m, n, 100.0 * m / n, c_pad)
 
-        self._centroids = cent
-        self._block_ids = jnp.asarray(block_ids)
-        self._blocks = (jnp.asarray(blocks) if self.quantize == "int8"
-                        else jnp.asarray(blocks, self.dtype))
-        self._scales = (jnp.asarray(block_scales)
-                        if block_scales is not None else None)
-        m_pad = _round_up(max(m, 1), self.block_size)
-        ov = np.zeros((m_pad, d), host_dtype)
-        ov_ids = np.full((m_pad,), -1, np.int32)
         if m:
-            ov[:m] = np.concatenate(overflow_rows)
-            ov_ids[:m] = np.concatenate(overflow_ids)
-        if self.quantize == "int8":
-            # pad rows: harmless scale 1.0 (their int8 rows are zero anyway)
-            ov_scales = np.ones((m_pad,), np.float32)
-            if m:
-                ov_scales[:m] = scales[np.concatenate(overflow_ids)]
-            self._overflow = jnp.asarray(ov)
-            self._overflow_scales = jnp.asarray(ov_scales)
+            ov_rows = np.concatenate(overflow_rows)
+            ov_id_vals = np.concatenate(overflow_ids)
+            ov_scale_vals = (scales[ov_id_vals]
+                             if self.quantize == "int8" else None)
         else:
-            self._overflow = jnp.asarray(ov, self.dtype)
-            self._overflow_scales = None
-        self._overflow_ids = ov_ids
-        self._overflow_ids_dev = jnp.asarray(ov_ids)
-        self._overflow_count = m
+            ov_rows = np.zeros((0, d), host_dtype)
+            ov_id_vals = np.zeros((0,), np.int32)
+            ov_scale_vals = (np.zeros((0,), np.float32)
+                             if self.quantize == "int8" else None)
+        self._install_layout(np.asarray(cent, np.float32), blocks, block_ids,
+                             block_scales, ov_rows, ov_scale_vals, ov_id_vals,
+                             K)
         self._built_count = n
         self._count = n
         self._chunks, self._scale_chunks = [], []
@@ -510,23 +643,28 @@ class IVFIndex:
                 "block_size": self.block_size, "dtype": np.dtype(self.dtype).name,
                 "count": self._count, "built_count": self._built_count,
                 "overflow_count": self._overflow_count,
+                "k_real": self._k_real,
                 "built": self._blocks is not None,
             }).encode()),
         }
         if self._blocks is not None:
-            blocks = np.asarray(self._blocks)
-            ov = np.asarray(self._overflow)
+            # canonical (pad-free) form: K-padding and overflow padding are
+            # mesh-shape-dependent, so load() re-pads for ITS mesh
+            kr, m = self._k_real, self._overflow_count
+            blocks = np.asarray(self._blocks)[:kr]
+            ov = np.asarray(self._overflow)[:m]
             if self.quantize != "int8":    # bf16 → fp32 (exact upcast)
                 blocks = blocks.astype(np.float32)
                 ov = ov.astype(np.float32)
             payload.update(
-                centroids=np.asarray(self._centroids, np.float32),
-                blocks=blocks, block_ids=np.asarray(self._block_ids),
-                overflow=ov, overflow_ids=self._overflow_ids)
+                centroids=np.asarray(self._centroids, np.float32)[:kr],
+                blocks=blocks,
+                block_ids=np.asarray(self._block_ids)[:kr],
+                overflow=ov, overflow_ids=self._overflow_ids[:m])
             if self.quantize == "int8":
-                payload["scales"] = np.asarray(self._scales, np.float32)
+                payload["scales"] = np.asarray(self._scales, np.float32)[:kr]
                 payload["overflow_scales"] = np.asarray(
-                    self._overflow_scales, np.float32)
+                    self._overflow_scales, np.float32)[:m]
         if self._chunks:
             payload["pending"] = np.concatenate(self._chunks)
             if self.quantize == "int8":
@@ -557,18 +695,19 @@ class IVFIndex:
         idx._built_count = meta["built_count"]
         if meta["built"]:
             quant = meta["quantize"] == "int8"
-            idx._centroids = jnp.asarray(z["centroids"])
-            idx._blocks = (jnp.asarray(z["blocks"]) if quant
-                           else jnp.asarray(z["blocks"], idx.dtype))
-            idx._block_ids = jnp.asarray(z["block_ids"])
-            idx._overflow = (jnp.asarray(z["overflow"]) if quant
-                             else jnp.asarray(z["overflow"], idx.dtype))
-            idx._overflow_ids = z["overflow_ids"]
-            idx._overflow_ids_dev = jnp.asarray(z["overflow_ids"])
-            idx._overflow_count = meta["overflow_count"]
-            if quant:
-                idx._scales = jnp.asarray(z["scales"])
-                idx._overflow_scales = jnp.asarray(z["overflow_scales"])
+            # files pre-dating the canonical form carry K/overflow padding;
+            # k_real + overflow_count slice it away either way
+            kr = meta.get("k_real", z["centroids"].shape[0])
+            m = meta["overflow_count"]
+            host_dtype = np.int8 if quant else np.float32
+            idx._install_layout(
+                z["centroids"][:kr],
+                z["blocks"][:kr].astype(host_dtype, copy=False),
+                z["block_ids"][:kr],
+                z["scales"][:kr] if quant else None,
+                z["overflow"][:m].astype(host_dtype, copy=False),
+                z["overflow_scales"][:m] if quant else None,
+                z["overflow_ids"][:m], kr)
         if "pending" in z.files:
             idx._chunks = [z["pending"]]
             if meta["quantize"] == "int8":
@@ -642,10 +781,14 @@ class IVFIndex:
         if self.normalize:
             q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True),
                             1e-12, None)
-        nprobe = min(nprobe or self.nprobe, int(self._centroids.shape[0]))
+        nprobe = min(nprobe or self.nprobe, self._k_real)
         c_pad = int(self._blocks.shape[1])
-        if qchunk is None:
-            row_bytes = nprobe * c_pad * self.dim * self._blocks.dtype.itemsize
+        n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
+        nprobe_local = min(-(-nprobe // n_dev),
+                           int(self._centroids.shape[0]) // n_dev)
+        if qchunk is None:  # per-DEVICE gathered blocks bound the budget
+            row_bytes = (nprobe_local * c_pad * self.dim
+                         * self._blocks.dtype.itemsize)
             qchunk = max(1, min(16, self.gather_budget // max(row_bytes, 1)))
         k_eff = min(k, self.live_count)
         kc = min(k_eff, nprobe * c_pad)
@@ -653,7 +796,29 @@ class IVFIndex:
         vals_l, ids_l = [], []
         for s in range(0, q.shape[0], qchunk):
             qs = jnp.asarray(q[s:s + qchunk])
-            if self._overflow_count:
+            if self.mesh is not None:
+                kc_l = min(k_eff, nprobe_local * c_pad)
+                ov_rows = int(self._overflow.shape[0]) // n_dev
+                k_ov = min(k_eff, ov_rows)
+                k_final = min(k_eff, n_dev * (kc_l + k_ov))
+                key = (kc_l, k_ov, nprobe_local, k_final)
+                fn = self._sharded_fns.get(key)
+                if fn is None:
+                    fn = _make_sharded_probe(
+                        self.mesh, int(self._centroids.shape[0]) // n_dev,
+                        self._k_real, self.quantize == "int8",
+                        self.block_size, kc_l, k_ov, nprobe_local, k_final)
+                    self._sharded_fns[key] = fn
+                args = [qs, self._centroids, self._blocks, self._block_ids]
+                if self.quantize == "int8":
+                    args.append(self._scales)
+                args.append(self._overflow)
+                if self.quantize == "int8":
+                    args.append(self._overflow_scales)
+                args.append(self._overflow_ids_dev)
+                tv, ti = jax.device_get(fn(*args))
+                tv = tv.astype(np.float32)
+            elif self._overflow_count:
                 tv, ti = jax.device_get(_probe_overflow_search(
                     qs, self._centroids, self._blocks, self._block_ids,
                     self._scales, self._overflow, self._overflow_scales,

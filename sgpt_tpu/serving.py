@@ -275,18 +275,19 @@ class SearchService:
                 "path": directory}
 
     @staticmethod
-    def load_index(directory: str):
+    def load_index(directory: str, *, mesh=None):
         """(index, documents dict) from a save()d directory. The index class
-        is recovered from the file's own metadata."""
+        is recovered from the file's own metadata; `mesh` re-shards the
+        loaded corpus over its dp axis (saves are mesh-shape agnostic)."""
         import numpy as np
 
         path = os.path.join(directory, "index.npz")
         meta = json.loads(bytes(np.load(path)["meta"]))
         if meta.get("kind") == "ivf":
             from .index_ivf import IVFIndex
-            index = IVFIndex.load(path)
+            index = IVFIndex.load(path, mesh=mesh)
         else:
-            index = DenseIndex.load(path)
+            index = DenseIndex.load(path, mesh=mesh)
         documents = {}
         doc_path = os.path.join(directory, "documents.jsonl")
         if os.path.exists(doc_path):

@@ -295,3 +295,57 @@ def test_delete_everything_reverts_to_empty():
     idx.build()
     _, ids = idx.search_embeddings(emb[4:5], k=1)
     assert ids[0] == ["e"]
+
+
+# -- mesh-sharded IVF ----------------------------------------------------------
+@pytest.mark.parametrize("quantize,dp", [(None, 4), (None, 8), ("int8", 4)])
+def test_sharded_ivf_recall_delete_persist(quantize, dp):
+    """IVFIndex(mesh=): cluster blocks shard over dp, every shard probes its
+    local centroids, candidates merge over the mesh. nprobe=K is exact over
+    live docs; deletion, pending adds, and mesh-shape-agnostic persistence
+    all behave as on one device."""
+    import jax.numpy as jnp
+
+    from sgpt_tpu.parallel import make_mesh
+
+    emb, rng = _mixture(3000, dim=32, centers=16, seed=31)
+    q = (emb[rng.integers(0, 3000, 12)]
+         + 0.05 * rng.standard_normal((12, 32))).astype(np.float32)
+    dt = jnp.float32 if quantize is None else jnp.bfloat16
+    idx = IVFIndex(32, n_clusters=12, nprobe=12, quantize=quantize,
+                   mesh=make_mesh(dp=dp), dtype=dt, pad_factor=1.0, seed=31)
+    idx.add(emb, ids=[f"d{i}" for i in range(3000)])
+    idx.build()
+    assert idx._overflow_count > 0          # pad_factor=1.0 forces spill
+
+    oracle = _exact_topk(emb, q, 10)
+    _, ids = idx.search_embeddings(q, k=10, nprobe=12)   # nprobe = K
+    rec = sum(len({int(i[1:]) for i in r} & o)
+              for r, o in zip(ids, oracle)) / (12 * 10)
+    assert rec >= (0.999 if quantize is None else 0.95), rec
+
+    victim = ids[0][0]
+    ovv = f"d{int(idx._overflow_ids[0])}"
+    dele = list({victim, ovv, "d2999"})
+    idx.delete(dele)
+    _, ids2 = idx.search_embeddings(q, k=10, nprobe=12)
+    assert not ({x for r in ids2 for x in r} & set(dele))
+
+    # pending adds searchable before rebuild (fresh vectors, not corpus
+    # duplicates — a duplicate ties with its original and loses the order)
+    fresh = rng.standard_normal((5, 32)).astype(np.float32) + 3.0
+    idx.add(fresh, ids=[f"c{i}" for i in range(5)])
+    _, ids3 = idx.search_embeddings(fresh[:2], k=1)
+    assert ids3[0] == ["c0"] and ids3[1] == ["c1"]
+
+    # persistence is mesh-shape agnostic: reload on dp=2 AND single-device
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/sivf.npz"
+        idx.save(path)
+        back2 = IVFIndex.load(path, mesh=make_mesh(dp=2))
+        _, ids4 = back2.search_embeddings(q, k=10, nprobe=12)
+        assert not ({x for r in ids4 for x in r} & set(dele))
+        single = IVFIndex.load(path)
+        _, ids5 = single.search_embeddings(q, k=10, nprobe=12)
+        assert [set(r) for r in ids5] == [set(r) for r in ids4]
