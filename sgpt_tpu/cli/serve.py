@@ -85,6 +85,9 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-wait-ms", type=float, default=3.0,
                     help="micro-batcher coalescing window")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip precompiling the encode buckets at startup "
+                    "(first requests then pay multi-second jit compiles)")
     add_mesh_args(ap)
     args = ap.parse_args(argv)
 
@@ -130,6 +133,10 @@ def main(argv=None):
         if args.index_path:
             logger.info("saving index to %s", args.index_path)
             service.save(args.index_path)
+
+    if not args.no_warmup:
+        logger.info("warming encode buckets (compile-before-traffic) ...")
+        engine.warmup()
 
     server = make_server(service, args.host, args.port,
                          model_name=args.modelname,
