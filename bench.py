@@ -94,7 +94,35 @@ def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
     return best
 
 
+def _require_backend(timeout_s: int = 180) -> None:
+    """Fail fast instead of hanging the harness: backend init on the shared
+    TPU relay can block INDEFINITELY when a crashed client wedged it
+    (observed: 4+ hours). Initialize in a daemon thread with a deadline,
+    and refuse to record CPU-fallback garbage numbers."""
+    import os
+    import sys
+    import threading
+
+    got: list = []
+
+    def probe():
+        import jax
+        got.append(jax.default_backend())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        sys.exit(f"bench: JAX backend failed to initialize within {timeout_s}s "
+                 "— the TPU relay is unavailable or wedged; free/restart it "
+                 "and re-run")
+    if got[0] != "tpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        sys.exit(f"bench: backend is {got[0]!r}, not 'tpu' — refusing to "
+                 "record non-TPU numbers (BENCH_ALLOW_CPU=1 overrides)")
+
+
 def main() -> None:
+    _require_backend()
     import jax
     import jax.numpy as jnp
 
