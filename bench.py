@@ -104,14 +104,20 @@ def _require_backend(timeout_s: int = 180) -> None:
     import threading
 
     got: list = []
+    err: list = []
 
     def probe():
-        import jax
-        got.append(jax.default_backend())
+        try:
+            import jax
+            got.append(jax.default_backend())
+        except Exception as e:  # report the REAL failure, not a fake timeout
+            err.append(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    if err:
+        sys.exit(f"bench: JAX backend failed to initialize: {err[0]!r}")
     if not got:
         sys.exit(f"bench: JAX backend failed to initialize within {timeout_s}s "
                  "— the TPU relay is unavailable or wedged; free/restart it "

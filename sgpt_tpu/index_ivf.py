@@ -109,13 +109,14 @@ def _assign_corpus(rows: jax.Array, cent: jax.Array, slab: int) -> jax.Array:
                        rows.reshape(-1, slab, rows.shape[1])).reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "quantized"))
-def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
+def _score_probed(q, probe, blocks, block_ids, scales, k: int,
                   nprobe: int, quantized: bool):
-    """q: (Q, D) fp32 → (scores (Q,k), positions (Q,k)) over probed clusters.
+    """Score the probed blocks → (scores (Q,k), positions (Q,k)).
 
-    blocks: (K, C_pad, D); block_ids: (K, C_pad) int32, -1 = pad slot;
-    scales: (K, C_pad) fp32 when quantized.
+    Shared by the single-device and per-shard (mesh) probe paths so the two
+    can never diverge. blocks: (K, C_pad, D); block_ids: (K, C_pad) int32,
+    -1 = pad slot OR tombstoned deletion; scales: (K, C_pad) fp32 when
+    quantized.
 
     The probed blocks are fetched one dynamic_index_in_dim slice at a time
     under lax.map — NOT jnp.take: XLA lowers a big-slice leading-axis gather
@@ -124,8 +125,7 @@ def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
     read nprobe/K of the corpus; dynamic slices are true DMAs of just the
     probed clusters).
     """
-    Q, D = q.shape
-    probe = jax.lax.top_k(q @ centroids.T, nprobe)[1]          # (Q, P)
+    Q = q.shape[0]
     qc = q.astype(jnp.bfloat16 if quantized else blocks.dtype)
     # each (query, probe) pair scores one (C_pad, D) block against its query
     flat_probe = probe.reshape(-1)                             # (Q*P,)
@@ -145,6 +145,15 @@ def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
     top_vals, pos = jax.lax.top_k(scores.reshape(Q, -1), k)
     top_ids = jnp.take_along_axis(gid.reshape(Q, -1), pos, axis=1)
     return top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "quantized"))
+def _probe_search(q, centroids, blocks, block_ids, scales, k: int,
+                  nprobe: int, quantized: bool):
+    """Single-device probe: global top-nprobe clusters, then _score_probed."""
+    probe = jax.lax.top_k(q @ centroids.T, nprobe)[1]          # (Q, P)
+    return _score_probed(q, probe, blocks, block_ids, scales, k,
+                         nprobe, quantized)
 
 
 @partial(jax.jit, static_argnames=("k", "k_ov", "nprobe", "quantized",
@@ -195,29 +204,12 @@ def _make_sharded_probe(mesh, k_local: int, k_real: int, quantized: bool,
         ovs = rest.pop(0) if quantized else None
         ovids = rest.pop(0)
         rank = jax.lax.axis_index("dp")
-        Q = q.shape[0]
         cs = q @ cent.T                                  # (Q, K/dp)
         gc = rank * k_local + jnp.arange(k_local)
         cs = jnp.where(gc[None, :] < k_real, cs, -jnp.inf)  # pad clusters out
         probe = jax.lax.top_k(cs, nprobe_local)[1]
-        qc = q.astype(jnp.bfloat16 if quantized else blocks.dtype)
-        flat_probe = probe.reshape(-1)
-        q_for = jnp.repeat(qc, nprobe_local, axis=0)
-
-        def score_one(args):
-            c, qv = args
-            blk = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
-            ids = jax.lax.dynamic_index_in_dim(bids, c, 0, keepdims=False)
-            s = jnp.einsum("cd,d->c", blk.astype(qv.dtype), qv,
-                           preferred_element_type=jnp.float32)
-            if quantized:
-                s = s * jax.lax.dynamic_index_in_dim(scales, c, 0,
-                                                     keepdims=False)
-            return jnp.where(ids < 0, -jnp.inf, s), ids
-
-        sc, gid = jax.lax.map(score_one, (flat_probe, q_for))
-        tv, pos = jax.lax.top_k(sc.reshape(Q, -1), kc)
-        ti = jnp.take_along_axis(gid.reshape(Q, -1), pos, axis=1)
+        tv, ti = _score_probed(q, probe, blocks, bids, scales, kc,
+                               nprobe_local, quantized)
         # local overflow slice: row_mask covers pad slots, tombstones AND
         # (when there is no overflow at all) the all -1 placeholder rows
         ov_v, ov_i = blockmax_topk(q, ov, ov.shape[0], k=k_ov,
@@ -262,7 +254,15 @@ class IVFIndex:
         lives on shard c // (K/dp), every shard probes its own centroid slice
         with ceil(nprobe/dp) probes and candidates merge over ICI. `nprobe`
         keeps meaning TOTAL probed clusters, so per-device block reads (the
-        latency term) divide by dp at equal total work."""
+        latency term) divide by dp at equal total work.
+
+        Probe-set semantics at nprobe < K: the union of per-shard top-
+        ceil(nprobe/dp) lists is NOT the identical global top-nprobe set (a
+        query whose best clusters concentrate on one shard trades some of
+        them for other shards' local winners), so recall at small nprobe can
+        differ slightly from the single-device index — either way, since
+        other shards' probes are still genuine next-best clusters. nprobe=K
+        remains exact; tests cover both regimes."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.mesh = mesh
@@ -321,6 +321,10 @@ class IVFIndex:
         host_dtype = np.int8 if self.quantize == "int8" else np.float32
         c_pad, d = blocks.shape[1], blocks.shape[2]
         self._k_real = k_real
+        # compiled sharded probes bake k_real/k_local in: a rebuild that
+        # changes either must never reuse them (stale masks = silently wrong
+        # results; stale k_local = shape error — caught by review repro)
+        self._sharded_fns = {}
         n_dev = self.mesh.shape["dp"] if self.mesh is not None else 1
         k_pad = _round_up(k_real, n_dev)
         if k_pad != blocks.shape[0]:
@@ -801,11 +805,15 @@ class IVFIndex:
                 ov_rows = int(self._overflow.shape[0]) // n_dev
                 k_ov = min(k_eff, ov_rows)
                 k_final = min(k_eff, n_dev * (kc_l + k_ov))
-                key = (kc_l, k_ov, nprobe_local, k_final)
+                k_local = int(self._centroids.shape[0]) // n_dev
+                # key carries EVERY static the closure bakes in (k_real,
+                # k_local included) — _install_layout also clears the cache
+                key = (kc_l, k_ov, nprobe_local, k_final,
+                       self._k_real, k_local)
                 fn = self._sharded_fns.get(key)
                 if fn is None:
                     fn = _make_sharded_probe(
-                        self.mesh, int(self._centroids.shape[0]) // n_dev,
+                        self.mesh, k_local,
                         self._k_real, self.quantize == "int8",
                         self.block_size, kc_l, k_ov, nprobe_local, k_final)
                     self._sharded_fns[key] = fn

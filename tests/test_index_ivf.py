@@ -338,6 +338,15 @@ def test_sharded_ivf_recall_delete_persist(quantize, dp):
     _, ids3 = idx.search_embeddings(fresh[:2], k=1)
     assert ids3[0] == ["c0"] and ids3[1] == ["c1"]
 
+    # nprobe < K on the mesh: probes distribute as per-shard local top lists
+    # (documented — not the identical global top-nprobe set); recall on
+    # clusterable data must still hold
+    oracle5 = _exact_topk(emb, q, 5)
+    _, ids_lo = idx.search_embeddings(q, k=5, nprobe=6)
+    rec_lo = sum(len({int(i[1:]) for i in r if i[0] == "d"} & o)
+                 for r, o in zip(ids_lo, oracle5)) / (12 * 5)
+    assert rec_lo >= 0.8, rec_lo
+
     # persistence is mesh-shape agnostic: reload on dp=2 AND single-device
     import tempfile
     with tempfile.TemporaryDirectory() as td:
@@ -349,3 +358,31 @@ def test_sharded_ivf_recall_delete_persist(quantize, dp):
         single = IVFIndex.load(path)
         _, ids5 = single.search_embeddings(q, k=10, nprobe=12)
         assert [set(r) for r in ids5] == [set(r) for r in ids4]
+
+
+def test_sharded_probe_cache_invalidates_on_rebuild():
+    """Rebuilds that change the live cluster count (K grows with the corpus)
+    must not reuse compiled probe closures that baked the old k_real/k_local
+    in — the stale mask silently dropped clusters (review repro: 114/500
+    self-retrieval misses) or crashed on a k_local change."""
+    from sgpt_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(41)
+    mesh = make_mesh(dp=4)
+    idx = IVFIndex(32, n_clusters=16, nprobe=16, mesh=mesh, seed=41)
+    first = rng.standard_normal((5, 32)).astype(np.float32)
+    idx.add(first, ids=[f"a{i}" for i in range(5)])
+    idx.build()                                   # K = min(16, 5) = 5
+    idx.search_embeddings(first[:2], k=3)         # caches a probe fn
+    more = rng.standard_normal((495, 32)).astype(np.float32)
+    idx.add(more, ids=[f"b{i}" for i in range(495)])
+    idx.build()                                   # K = 16, k_local changes
+    emb = np.concatenate([first, more])
+    all_ids = [f"a{i}" for i in range(5)] + [f"b{i}" for i in range(495)]
+    picks = rng.integers(0, 500, 64)
+    q = emb[picks].astype(np.float32)
+    _, ids = idx.search_embeddings(q, k=3, nprobe=16)   # nprobe=K: exact
+    # every query IS a corpus row: nprobe=K must retrieve it (the stale
+    # cached closure masked clusters >= old k_real and missed 114/500)
+    misses = [all_ids[j] for j, r in zip(picks, ids) if all_ids[j] not in r]
+    assert not misses, misses[:10]
