@@ -386,3 +386,34 @@ def test_sharded_probe_cache_invalidates_on_rebuild():
     # cached closure masked clusters >= old k_real and missed 114/500)
     misses = [all_ids[j] for j, r in zip(picks, ids) if all_ids[j] not in r]
     assert not misses, misses[:10]
+
+
+def test_serving_service_accepts_sharded_ivf():
+    """The full serve facade works over a mesh-sharded IVF index."""
+    import jax
+
+    from sgpt_tpu.encoder import EmbeddingEngine
+    from sgpt_tpu.models import init_params, tiny
+    from sgpt_tpu.parallel import make_mesh
+    from sgpt_tpu.serving import SearchService
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    engine = EmbeddingEngine(init_params(cfg, jax.random.key(0)), cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=4, normalize_embeddings=True)
+    svc = SearchService(engine,
+                        IVFIndex(cfg.hidden_size, n_clusters=4, nprobe=4,
+                                 mesh=make_mesh(dp=4)),
+                        max_wait_ms=1.0)
+    try:
+        svc.add_documents([f"document number {i} about topic {i % 3}"
+                           for i in range(12)],
+                          ids=[f"d{i}" for i in range(12)], build=True)
+        hits = svc.search(["document number 7 about topic 1"], k=2)[0]
+        assert hits[0]["id"] == "d7"
+        svc.delete_documents(["d7"])
+        hits = svc.search(["document number 7 about topic 1"], k=2)[0]
+        assert "d7" not in [h["id"] for h in hits]
+    finally:
+        svc.close()
