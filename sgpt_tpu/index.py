@@ -35,9 +35,16 @@ def _encode_ids(ids: List[str]) -> np.ndarray:
     return np.frombuffer(joined.encode("utf-8"), np.uint8)
 
 
-def _decode_ids(buf: np.ndarray) -> List[str]:
+def _decode_ids(buf: np.ndarray, n: int) -> List[str]:
+    """Inverse of _encode_ids. `n` (the saved doc count) disambiguates the
+    one case the join can't: zero ids and a single empty-string id both
+    encode to an empty buffer — without n, a [""]-id index reloaded with
+    _ids=[] and the first search crashed on self._ids[0]."""
     raw = buf.tobytes().decode("utf-8")
-    return raw.split("\n") if raw else []
+    ids = raw.split("\n") if n else []
+    if len(ids) != n:
+        raise ValueError(f"corrupt id buffer: {len(ids)} ids for {n} docs")
+    return ids
 
 
 def _compact_deleted(rows: np.ndarray, scales: Optional[np.ndarray],
@@ -536,7 +543,7 @@ class DenseIndex:
             idx._chunks = [rows]
             if meta["quantize"] == "int8":
                 idx._scale_chunks = [z["scales"]]
-        idx._ids = _decode_ids(z["ids"])
+        idx._ids = _decode_ids(z["ids"], meta["count"])
         idx._count = meta["count"]
         if meta["built"] and rows.shape[0]:
             idx.build()

@@ -694,7 +694,7 @@ class IVFIndex:
                   quantize=meta["quantize"], pad_factor=meta["pad_factor"],
                   nprobe=meta["nprobe"], block_size=meta["block_size"],
                   dtype=np.dtype(meta["dtype"]), **kw)
-        idx._ids = _decode_ids(z["ids"])
+        idx._ids = _decode_ids(z["ids"], meta["count"])
         idx._count = meta["count"]
         idx._built_count = meta["built_count"]
         if meta["built"]:

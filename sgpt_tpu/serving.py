@@ -83,11 +83,18 @@ class MicroBatcher:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self.dispatches = 0
         self.items_processed = 0
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, name=name, daemon=True)
         self._thread.start()
 
     def submit(self, items: Sequence) -> Future:
-        """Future resolving to the per-item results for `items` (in order)."""
+        """Future resolving to the per-item results for `items` (in order).
+
+        Raises after close(): enqueueing onto a dead dispatcher would return
+        a Future that never resolves (the drain in _loop additionally fails
+        any request racing the shutdown)."""
+        if self._closed:
+            raise RuntimeError(f"{self._thread.name}: submit() after close()")
         req = _Request(items)
         if not req.items:
             req.future.set_result([])
@@ -102,7 +109,15 @@ class MicroBatcher:
         while True:
             req = self._q.get()
             if req is None:
-                return
+                # fail (don't strand) anything that raced the shutdown
+                while True:
+                    try:
+                        late = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if late is not None:
+                        late.future.set_exception(
+                            RuntimeError("batcher closed"))
             batch = [req]
             n = len(req.items)
             deadline = time.monotonic() + self.max_wait
@@ -137,6 +152,7 @@ class MicroBatcher:
                 off += len(r.items)
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5)
 
@@ -185,8 +201,13 @@ class SearchService:
     def add_documents(self, texts: Sequence[str],
                       ids: Optional[Sequence[str]] = None, *,
                       build: bool = False) -> List[str]:
-        if ids is not None and len(ids) != len(texts):
-            raise ValueError(f"{len(ids)} ids for {len(texts)} texts")
+        if ids is not None:
+            if len(ids) != len(texts):
+                raise ValueError(f"{len(ids)} ids for {len(texts)} texts")
+            if len(set(ids)) != len(ids):
+                raise ValueError("duplicate ids within one request")
+            if any(i == "" for i in ids):
+                raise ValueError("empty-string document ids are not allowed")
         emb = self.embed(texts, is_query=False)
         with self._lock:
             if ids is None:
@@ -221,6 +242,8 @@ class SearchService:
 
     def rebuild(self) -> int:
         with self._lock:
+            if len(self.index) == 0 and not self.index.is_built:
+                return 0  # nothing to build yet (IVF raises on empty build)
             self.index.build()
             return len(self.index)
 
@@ -279,8 +302,6 @@ class SearchService:
         """(index, documents dict) from a save()d directory. The index class
         is recovered from the file's own metadata; `mesh` re-shards the
         loaded corpus over its dp axis (saves are mesh-shape agnostic)."""
-        import numpy as np
-
         path = os.path.join(directory, "index.npz")
         meta = json.loads(bytes(np.load(path)["meta"]))
         if meta.get("kind") == "ivf":
@@ -427,11 +448,24 @@ class _Handler(BaseHTTPRequestHandler):
     def _documents(self, body: dict) -> dict:
         if "documents" in body:  # [{"id": ..., "text": ...}, ...]
             docs = body["documents"]
+            if not isinstance(docs, list) or not all(
+                    isinstance(d, dict) for d in docs):
+                raise ValueError("'documents' must be a list of objects")
             texts = [d["text"] for d in docs]
-            ids = [str(d["id"]) for d in docs] if all("id" in d for d in docs) else None
+            with_id = [d for d in docs if "id" in d]
+            if with_id and len(with_id) != len(docs):
+                # honoring some ids and auto-assigning the rest would
+                # silently drop the supplied ones — refuse the mix
+                raise ValueError("either every document carries an 'id' "
+                                 "or none does")
+            ids = [str(d["id"]) for d in docs] if with_id else None
         else:  # {"texts": [...], "ids": [...]?}
             texts = body.get("texts")
             ids = body.get("ids")
+            if ids is not None:
+                if not isinstance(ids, list):
+                    raise ValueError("'ids' must be a list")
+                ids = [str(i) for i in ids]
         if not isinstance(texts, list) or not all(isinstance(t, str) for t in texts):
             raise ValueError("'documents' (id/text objects) or 'texts' "
                              "(list of strings) required")

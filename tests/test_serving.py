@@ -308,6 +308,56 @@ def test_http_delete_then_readd_same_id_is_upsert(server):
     _post(server, "/documents/delete", {"ids": ["ups"]})
 
 
+def test_http_document_id_validation(server):
+    """Review-found edges: non-string ids stringify, duplicate ids within a
+    request are rejected, a partial-id documents form is rejected (honoring
+    some ids and dropping others silently lost the supplied ones), empty-
+    string ids are rejected."""
+    status, out = _post(server, "/documents",
+                        {"texts": ["int id doc"], "ids": [12345]})
+    assert status == 200 and out["ids"] == ["12345"]
+    _post(server, "/documents/delete", {"ids": ["12345"]})  # str round-trips
+    assert _post(server, "/documents",
+                 {"texts": ["a", "b"], "ids": "xy"})[0] == 400
+    assert _post(server, "/documents",
+                 {"texts": ["a", "b"], "ids": ["same", "same"]})[0] == 400
+    assert _post(server, "/documents",
+                 {"documents": [{"id": "has", "text": "a"},
+                                {"text": "missing id"}]})[0] == 400
+    assert _post(server, "/documents",
+                 {"texts": ["a"], "ids": [""]})[0] == 400
+
+
+def test_rebuild_on_fresh_ivf_service_is_ok():
+    """POST /rebuild before any documents must not 500 on an IVF index
+    (IVFIndex.build raises on empty; the service treats it as a no-op)."""
+    import jax
+
+    from sgpt_tpu.index_ivf import IVFIndex
+    from sgpt_tpu.models import init_params, tiny
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    cfg = tiny("neo")
+    engine = EmbeddingEngine(init_params(cfg, jax.random.key(0)), cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=4, normalize_embeddings=True)
+    svc = SearchService(engine, IVFIndex(cfg.hidden_size, n_clusters=2),
+                        max_wait_ms=1.0)
+    try:
+        assert svc.rebuild() == 0
+        assert svc.search(["anything"], k=3) == [[]]
+    finally:
+        svc.close()
+
+
+def test_microbatcher_submit_after_close_fails_fast():
+    mb = MicroBatcher(lambda items: [x * 2 for x in items], max_wait_ms=1.0)
+    assert mb([1, 2]) == [2, 4]
+    mb.close()
+    with pytest.raises(RuntimeError, match="close"):
+        mb.submit([3])
+
+
 def test_http_empty_queries_and_inputs(server):
     """Empty batches are valid no-ops, not 500s."""
     status, out = _post(server, "/search", {"queries": []})
