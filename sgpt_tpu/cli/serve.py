@@ -88,6 +88,16 @@ def main(argv=None):
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip precompiling the encode buckets at startup "
                     "(first requests then pay multi-second jit compiles)")
+    ap.add_argument("--rerank", action="store_true",
+                    help="enable POST /rerank (SGPT-CE log-prob reranking) "
+                    "using the SAME loaded model as the encoder (zero extra "
+                    "weight HBM; tied-embedding LM head)")
+    ap.add_argument("--rerank-model", default=None,
+                    help="separate causal-LM checkpoint for /rerank (the "
+                    "paper pairs a BE retriever with a plain GPT CE; this "
+                    "loads a second model into HBM)")
+    ap.add_argument("--rerank-maxlen", type=int, default=2048,
+                    help="max context tokens per (query, doc) rerank pair")
     add_mesh_args(ap)
     args = ap.parse_args(argv)
 
@@ -111,6 +121,20 @@ def main(argv=None):
     else:
         index = DenseIndex(engine.out_dim, normalize_embeddings=True,
                            mesh=mesh, quantize=args.quantize_index)
+    ranker = None
+    if args.rerank or args.rerank_model:
+        from ..crossencoder import CrossEncoderRanker
+        if args.rerank_model:
+            ce_params, ce_cfg, ce_tok = build_model(
+                args.rerank_model, random_init=args.randominit)
+            ce_params = maybe_shard(ce_params, mesh)
+        else:  # share the encoder's weights: zero extra HBM
+            ce_params, ce_cfg, ce_tok = params, cfg, tokenizer
+        ranker = CrossEncoderRanker(ce_params, ce_cfg, ce_tok,
+                                    batch_size=args.batchsize,
+                                    max_length=args.rerank_maxlen, mesh=mesh,
+                                    quantize=args.quantize)
+
     import os
     loaded = False
     if args.index_path and os.path.exists(
@@ -121,10 +145,11 @@ def main(argv=None):
                              f"but the model produces {engine.out_dim}")
         logger.info("loaded %d docs from %s", len(index), args.index_path)
         service = SearchService(engine, index, documents=documents,
-                                max_wait_ms=args.max_wait_ms)
+                                max_wait_ms=args.max_wait_ms, ranker=ranker)
         loaded = True
     else:
-        service = SearchService(engine, index, max_wait_ms=args.max_wait_ms)
+        service = SearchService(engine, index, max_wait_ms=args.max_wait_ms,
+                                ranker=ranker)
 
     if args.corpus and not loaded:
         ids, texts = load_jsonl_corpus(args.corpus)

@@ -19,6 +19,8 @@ Endpoints (stdlib `http.server`, JSON bodies):
                         repo's own `baselines/openai_client.py`) can point
                         its base_url at this server.
   POST /search          {"queries": [...], "k": 10, "return_documents": bool}
+  POST /rerank          two-stage: bi-encoder first_k retrieval + SGPT-CE
+                        log-prob rerank ({"queries", "k", "first_k"})
   POST /documents       add documents to the live index (pending-slab adds:
                         serving keeps answering; POST /rebuild merges)
   POST /documents/delete  {"ids": [...]} tombstone documents: immediately
@@ -169,10 +171,11 @@ class SearchService:
     def __init__(self, engine, index: Optional[DenseIndex] = None, *,
                  documents: Optional[Dict[str, str]] = None,
                  max_batch_items: int = 1024, max_wait_ms: float = 3.0,
-                 index_kw: Optional[dict] = None):
+                 index_kw: Optional[dict] = None, ranker=None):
         self.engine = engine
         self.index = index if index is not None else DenseIndex(
             engine.out_dim, normalize_embeddings=True, **(index_kw or {}))
+        self.ranker = ranker  # optional CrossEncoderRanker for POST /rerank
         self.documents: Dict[str, str] = dict(documents or {})
         # ids ever deleted this process: the auto-id probe must skip them even
         # after delete_documents() pops them from self.documents, or a new
@@ -187,6 +190,12 @@ class SearchService:
         self._d_batcher = MicroBatcher(
             lambda t: engine.encode(list(t), is_query=False),
             max_items=max_batch_items, max_wait_ms=max_wait_ms, name="enc-doc")
+        # rerank pairs coalesce too: concurrent clients' (query, doc) pairs
+        # concatenate into one token-budget-batched scoring pass
+        self._r_batcher = (MicroBatcher(
+            lambda pairs: ranker.predict(list(pairs)),
+            max_items=max_batch_items, max_wait_ms=max_wait_ms, name="rerank")
+            if ranker is not None else None)
 
     # -- embedding ----------------------------------------------------------
     def embed(self, texts: Sequence[str], *, is_query: bool = False) -> np.ndarray:
@@ -265,6 +274,41 @@ class SearchService:
                 out.append(hits)
         return out
 
+    def rerank(self, queries: Sequence[str], *, k: int = 10,
+               first_k: int = 100,
+               return_documents: bool = False) -> List[List[dict]]:
+        """Two-stage search: bi-encoder retrieval of first_k candidates, then
+        SGPT-CE log-prob rerank — the paper's second method family
+        (crossencoder/beir/sgptce.py), as a serving endpoint. Each hit keeps
+        the first-stage cosine as `score` and gains `ce_score`; hits sort by
+        ce_score. Requires a ranker AND retained document texts."""
+        if self.ranker is None:
+            raise ValueError("no reranker configured: pass ranker= to "
+                             "SearchService (serve --rerank)")
+        first = self.search(queries, k=first_k,
+                            return_documents=return_documents)
+        pairs, spans = [], []
+        with self._lock:
+            for q, hits in zip(queries, first):
+                spans.append(len(hits))
+                for h in hits:
+                    text = self.documents.get(h["id"])
+                    if text is None:
+                        raise ValueError(
+                            f"no retained text for doc {h['id']!r}: rerank "
+                            "needs the documents map (serve --corpus keeps "
+                            "it; an index loaded without documents.jsonl "
+                            "cannot rerank)")
+                    pairs.append((q, text))
+        scores = self._r_batcher(pairs) if pairs else []
+        out, off = [], 0
+        for n, hits in zip(spans, first):
+            for h, s in zip(hits, scores[off:off + n]):
+                h["ce_score"] = float(s)
+            off += n
+            out.append(sorted(hits, key=lambda h: -h["ce_score"])[:k])
+        return out
+
     # -- misc ---------------------------------------------------------------
     def stats(self) -> dict:
         with self._lock:
@@ -322,6 +366,8 @@ class SearchService:
     def close(self):
         self._q_batcher.close()
         self._d_batcher.close()
+        if self._r_batcher is not None:
+            self._r_batcher.close()
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +418,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, self._embeddings(body))
             elif self.path == "/search":
                 self._send(200, self._search(body))
+            elif self.path == "/rerank":
+                self._send(200, self._rerank(body))
             elif self.path == "/documents":
                 self._send(200, self._documents(body))
             elif self.path == "/documents/delete":
@@ -443,6 +491,20 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("'k' must be >= 1")
         results = self.service.search(
             queries, k=k, return_documents=bool(body.get("return_documents")))
+        return {"results": results}
+
+    def _rerank(self, body: dict) -> dict:
+        queries = body.get("queries")
+        if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries):
+            raise ValueError("'queries' must be a list of strings")
+        k = int(body.get("k", 10))
+        first_k = int(body.get("first_k", max(100, k)))
+        if k < 1 or first_k < k:
+            raise ValueError("need 1 <= k <= first_k")
+        results = self.service.rerank(
+            queries, k=k, first_k=first_k,
+            return_documents=bool(body.get("return_documents")))
         return {"results": results}
 
     def _documents(self, body: dict) -> dict:

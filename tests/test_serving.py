@@ -350,6 +350,53 @@ def test_rebuild_on_fresh_ivf_service_is_ok():
         svc.close()
 
 
+def test_rerank_endpoint_two_stage():
+    """POST /rerank: bi-encoder first_k retrieval + SGPT-CE log-prob rerank.
+    Scores must equal the ranker's own predict() on the retrieved pairs, and
+    results sort by ce_score."""
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    engine = EmbeddingEngine(params, cfg, tok, batch_size=4,
+                             normalize_embeddings=True)
+    ranker = CrossEncoderRanker(params, cfg, tok, batch_size=4, max_length=64)
+    svc = SearchService(engine, DenseIndex(engine.out_dim), ranker=ranker,
+                        max_wait_ms=1.0)
+    docs = {f"d{i}": f"document body number {i} about alpha beta" for i in range(8)}
+    srv = make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        svc.add_documents(list(docs.values()), ids=list(docs), build=True)
+        status, out = _post(srv, "/rerank",
+                            {"queries": ["document number 3"], "k": 2,
+                             "first_k": 5, "return_documents": True})
+        assert status == 200
+        hits = out["results"][0]
+        assert len(hits) == 2 and hits[0]["ce_score"] >= hits[1]["ce_score"]
+        assert all("score" in h and "document" in h for h in hits)
+        # parity with a direct predict over the same first-stage candidates
+        first = svc.search(["document number 3"], k=5)[0]
+        want = ranker.predict([("document number 3", docs[h["id"]])
+                               for h in first])
+        by_id = {h["id"]: h["ce_score"]
+                 for h in svc.rerank(["document number 3"], k=5, first_k=5)[0]}
+        for h, w in zip(first, want):
+            np.testing.assert_allclose(by_id[h["id"]], w, rtol=1e-6)
+        # validation + no-ranker error paths
+        assert _post(srv, "/rerank", {"queries": "x"})[0] == 400
+        assert _post(srv, "/rerank", {"queries": ["x"], "k": 5,
+                                      "first_k": 2})[0] == 400
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_rerank_without_ranker_is_400(server):
+    assert _post(server, "/rerank", {"queries": ["q"]})[0] == 400
+
+
 def test_microbatcher_submit_after_close_fails_fast():
     mb = MicroBatcher(lambda items: [x * 2 for x in items], max_wait_ms=1.0)
     assert mb([1, 2]) == [2, 4]
