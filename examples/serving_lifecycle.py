@@ -29,17 +29,24 @@ DOCS = {
 
 def main():
     cfg = tiny("neo")
-    engine = EmbeddingEngine(init_params(cfg, jax.random.key(0)), cfg,
-                             SimpleTokenizer(vocab_size=cfg.vocab_size),
-                             method="weightedmean", batch_size=8,
-                             normalize_embeddings=True)
-    svc = SearchService(engine, max_wait_ms=1.0)
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    engine = EmbeddingEngine(params, cfg, tok, method="weightedmean",
+                             batch_size=8, normalize_embeddings=True)
+    from sgpt_tpu.crossencoder import CrossEncoderRanker
+    ranker = CrossEncoderRanker(params, cfg, tok, batch_size=4, max_length=64)
+    svc = SearchService(engine, max_wait_ms=1.0, ranker=ranker)
     try:
         # index + search
         svc.add_documents(list(DOCS.values()), ids=list(DOCS), build=True)
         hits = svc.search(["exoplanet habitable zone"], k=2,
                           return_documents=True)[0]
         print("top hit:", hits[0]["id"], f"({hits[0]['score']:+.4f})")
+
+        # two-stage: bi-encoder retrieval + SGPT-CE log-prob rerank
+        reranked = svc.rerank(["exoplanet habitable zone"], k=2, first_k=3)[0]
+        print("reranked:", [(h["id"], round(h["ce_score"], 2))
+                            for h in reranked])
 
         # live add: the pending slab answers exactly until the next rebuild
         svc.add_documents(["Proxima Centauri b orbits within the habitable "
