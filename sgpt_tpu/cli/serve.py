@@ -98,6 +98,9 @@ def main(argv=None):
                     "loads a second model into HBM)")
     ap.add_argument("--rerank-maxlen", type=int, default=2048,
                     help="max context tokens per (query, doc) rerank pair")
+    ap.add_argument("--rerank-prompt", default="G",
+                    help="CE prompt ablation id (ce_prompts registry; the "
+                    "paper's main prompt is G; L/M are Yes/No classifiers)")
     add_mesh_args(ap)
     args = ap.parse_args(argv)
 
@@ -123,17 +126,17 @@ def main(argv=None):
                            mesh=mesh, quantize=args.quantize_index)
     ranker = None
     if args.rerank or args.rerank_model:
-        from ..crossencoder import CrossEncoderRanker
+        from ..ce_prompts import build_ranker
         if args.rerank_model:
             ce_params, ce_cfg, ce_tok = build_model(
                 args.rerank_model, random_init=args.randominit)
             ce_params = maybe_shard(ce_params, mesh)
         else:  # share the encoder's weights: zero extra HBM
             ce_params, ce_cfg, ce_tok = params, cfg, tokenizer
-        ranker = CrossEncoderRanker(ce_params, ce_cfg, ce_tok,
-                                    batch_size=args.batchsize,
-                                    max_length=args.rerank_maxlen, mesh=mesh,
-                                    quantize=args.quantize)
+        ranker = build_ranker(args.rerank_prompt, ce_params, ce_cfg, ce_tok,
+                              batch_size=args.batchsize,
+                              max_length=args.rerank_maxlen, mesh=mesh,
+                              quantize=args.quantize)
 
     import os
     loaded = False
