@@ -32,6 +32,8 @@ def __getattr__(name):
         "BM25Retriever": ("sgpt_tpu.retrieval_bm25", "BM25Retriever"),
         "CrossEncoderRanker": ("sgpt_tpu.crossencoder", "CrossEncoderRanker"),
         "YesNoRanker": ("sgpt_tpu.crossencoder", "YesNoRanker"),
+        "SearchService": ("sgpt_tpu.serving", "SearchService"),
+        "MicroBatcher": ("sgpt_tpu.serving", "MicroBatcher"),
         "ContrastiveTrainer": ("sgpt_tpu.training", "ContrastiveTrainer"),
         "TrainConfig": ("sgpt_tpu.training", "TrainConfig"),
     }
