@@ -397,6 +397,31 @@ def test_rerank_without_ranker_is_400(server):
     assert _post(server, "/rerank", {"queries": ["q"]})[0] == 400
 
 
+def test_serve_cli_corpus_loader(tmp_path):
+    """serve.load_jsonl_corpus: BEIR `_id`+title+text rows, bare `id` rows,
+    and missing-id fallback — identical through the native and json.loads
+    paths."""
+    import sgpt_tpu.cli.serve as serve_cli
+    from sgpt_tpu.data import jsonl_native
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"_id": "a", "title": "T", "text": "body one"}\n'
+        '{"id": "b", "text": "body two"}\n'
+        '{"text": "no id at all"}\n')
+    want_ids = ["a", "b", "2"]
+    want_texts = ["T body one", "body two", "no id at all"]
+    assert serve_cli.load_jsonl_corpus(str(p)) == (want_ids, want_texts)
+    if jsonl_native.available():  # force the json.loads fallback too
+        orig = jsonl_native.extract_fields
+        try:
+            jsonl_native.extract_fields = lambda *a, **k: None
+            assert serve_cli.load_jsonl_corpus(str(p)) == (want_ids,
+                                                           want_texts)
+        finally:
+            jsonl_native.extract_fields = orig
+
+
 def test_microbatcher_submit_after_close_fails_fast():
     mb = MicroBatcher(lambda items: [x * 2 for x in items], max_wait_ms=1.0)
     assert mb([1, 2]) == [2, 4]
