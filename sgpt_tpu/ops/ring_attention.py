@@ -88,21 +88,32 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
+        def fold(step, state, kv_k, kv_v, kv_mask):
+            src_rank = (rank - step) % n_dev
+            return _local_ring_step(q_s, kv_k, kv_v, kv_mask, q_pos,
+                                    src_rank * T_local, state, scale, window,
+                                    slopes)
+
         def body(step, carry):
             state, kv_k, kv_v, kv_mask = carry
-            src_rank = (rank - step) % n_dev
-            state = _local_ring_step(q_s, kv_k, kv_v, kv_mask, q_pos,
-                                     src_rank * T_local, state, scale, window,
-                                     slopes)
+            state = fold(step, state, kv_k, kv_v, kv_mask)
             kv_k = jax.lax.ppermute(kv_k, axis, perm)
             kv_v = jax.lax.ppermute(kv_v, axis, perm)
             kv_mask = jax.lax.ppermute(kv_mask, axis, perm)
             return state, kv_k, kv_v, kv_mask
 
-        (m, l, acc), _, _, _ = jax.lax.fori_loop(
-            0, n_dev, body, (state, k_s, v_s, mask_s))
-        l = jnp.where(l == 0.0, 1.0, l)
-        return (acc / l).astype(q_s.dtype)
+        # n_dev-1 fold+rotate rounds, then one final fold WITHOUT the
+        # rotation (the old n_dev-round loop paid 3 ppermutes whose results
+        # were discarded — pure ICI overhead, doubled by the backward pass)
+        state, kv_k, kv_v, kv_mask = jax.lax.fori_loop(
+            0, n_dev - 1, body, (state, k_s, v_s, mask_s))
+        m, l, acc = fold(n_dev - 1, state, kv_k, kv_v, kv_mask)
+        # rows with NO valid key anywhere keep m == NEG exactly: their p was
+        # exp(0)=1 per key, so l sums to T (never 0 — the old l==0 guard was
+        # dead) and acc/l would be mean(V). Zero them instead.
+        dead = m <= NEG / 2
+        l = jnp.where(dead, 1.0, l)
+        return jnp.where(dead, 0.0, acc / l).astype(q_s.dtype)
 
     return jax.shard_map(
         shard_fn, mesh=mesh,

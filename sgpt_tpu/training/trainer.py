@@ -101,11 +101,14 @@ class ContrastiveTrainer:
         self.tc = train_config
         self.sp_mesh = sp_mesh
         if sp_mesh is not None:
-            n_sp = int(np.prod(list(sp_mesh.shape.values())))
+            if "dp" not in sp_mesh.shape:
+                raise ValueError("sp_mesh needs a 'dp' axis — ring attention "
+                                 "shards the sequence over it")
+            n_sp = sp_mesh.shape["dp"]
             if train_config.max_seq_len % n_sp:
                 raise ValueError(
                     f"max_seq_len={train_config.max_seq_len} must divide by "
-                    f"the sp mesh size {n_sp} (ring attention shards T)")
+                    f"the sp axis size {n_sp} (ring attention shards T)")
         self.tokenizer = tokenizer
         # clean_newlines=False: the reference's ST training path tokenizes
         # raw text; the newline->space cleanup is a BEIR-embed-path behavior
@@ -239,7 +242,7 @@ class ContrastiveTrainer:
                 encode, lambda a, p, n=None: (loss_fn(a, p) if n is None
                                               else loss_fn(a, p, n)))
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(1,))
             def step(tree, opt_state, *towers):
                 loss, grads = vg(tree, *towers)
                 updates, opt_state = self._opt.update(grads, opt_state, tree)
@@ -249,7 +252,12 @@ class ContrastiveTrainer:
                 reps = [encode(tree, t) for t in towers]
                 return loss_fn(*reps)
 
-            @jax.jit
+            # donate the OPT STATE (trainer-owned; Adam m/v = 2x params
+            # in fp32 — the dominant buffer) so it aliases in place.
+            # The params tree is NOT donated: the caller still owns the
+            # arrays passed to the constructor and step 1 would delete
+            # them under their feet (broke the sp equality tests).
+            @partial(jax.jit, donate_argnums=(1,))
             def step(tree, opt_state, *towers):
                 loss, grads = jax.value_and_grad(direct_loss)(tree, list(towers))
                 updates, opt_state = self._opt.update(grads, opt_state, tree)
@@ -292,8 +300,10 @@ class ContrastiveTrainer:
         if self.mesh is not None:
             sh = (self._chunk_sharding if self.tc.use_gradcache
                   else self._batch_sharding)
+            # device_put on the HOST array does the sharded transfer in
+            # one hop (jnp.asarray first landed it on the default device)
             towers = [jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), sh), t)
+                lambda x: jax.device_put(np.asarray(x), sh), t)
                 for t in towers]
         else:
             towers = [jax.tree.map(jnp.asarray, t) for t in towers]

@@ -92,6 +92,9 @@ class TSDAETrainer:
         from .bitfit import bitfit_mask
 
         self.cfg = cfg
+        if pooling not in POOLERS:
+            raise ValueError(f"unknown pooling {pooling!r}; "
+                             f"choose from {sorted(POOLERS)}")
         self.pooling = pooling
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=False,
                                 clean_newlines=False)  # raw text, like ST
@@ -99,14 +102,25 @@ class TSDAETrainer:
         self.sp_mesh = sp_mesh
         self._src_pad = self._tgt_pad = max_seq_len
         if sp_mesh is not None:
-            import numpy as _np
-            n_sp = int(_np.prod(list(sp_mesh.shape.values())))
+            if "dp" not in sp_mesh.shape:
+                raise ValueError("sp_mesh needs a 'dp' axis — ring attention "
+                                 "shards the sequence over it")
+            n_sp = sp_mesh.shape["dp"]
             up = lambda n: (n + n_sp - 1) // n_sp * n_sp
             self._src_pad = up(max_seq_len)          # encoder sees T
             self._tgt_pad = up(max_seq_len - 1) + 1  # decoder sees T-1
         self.tree = {"model": params,
                      "tsdae": init_tsdae_params(cfg, jax.random.key(seed))}
-        base = optax.adamw(lr, weight_decay=weight_decay)
+        # no weight decay on bias/LayerNorm leaves — the ST reference's
+        # no-decay groups (SentenceTransformer.py:729-733), same mask as
+        # ContrastiveTrainer._build_optimizer
+        decay_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: not any(
+                getattr(p, "key", None) in ("bias", "bi", "bo", "bq", "bk",
+                                            "bv", "b", "scale", "pos_weights")
+                for p in path),
+            self.tree)
+        base = optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask)
         if freeze_nonbias:
             mask = {"model": bitfit_mask(params),
                     "tsdae": jax.tree.map(lambda _: True, self.tree["tsdae"])}
@@ -116,20 +130,17 @@ class TSDAETrainer:
         self._opt = base
         self._opt_state = base.init(self.tree)
 
-        cfg_ = cfg
-        pooling_ = pooling
-        sp_mesh_ = sp_mesh
-
-        @jax.jit
+        # donate the OPT STATE (trainer-owned) so it aliases in place;
+        # the params tree stays undonated — the caller owns those arrays
+        @partial(jax.jit, donate_argnums=(1,))
         def step(tree, opt_state, src_ids, src_mask, tgt_ids, tgt_mask):
             def loss_fn(t):
                 return tsdae_loss(t["model"], t["tsdae"], src_ids, src_mask,
-                                  tgt_ids, tgt_mask, cfg_, pooling_,
-                                  sp_mesh=sp_mesh_)
+                                  tgt_ids, tgt_mask, cfg, pooling,
+                                  sp_mesh=sp_mesh)
             loss, grads = jax.value_and_grad(loss_fn)(tree)
             updates, opt_state = self._opt.update(grads, opt_state, tree)
-            import optax as _optax
-            return _optax.apply_updates(tree, updates), opt_state, loss
+            return optax.apply_updates(tree, updates), opt_state, loss
 
         self._step = step
 
@@ -150,10 +161,20 @@ class TSDAETrainer:
         return float(loss)
 
     def fit(self, batcher, epochs: int = 1, log_fn=None) -> list:
+        """batcher: an iterable of batches, or a zero-arg callable returning
+        one (like ContrastiveTrainer.fit). A one-shot iterator with epochs>1
+        is materialized once — silently training only epoch 1 on an
+        exhausted generator was a review finding."""
+        if callable(batcher):
+            make = batcher
+        else:
+            if epochs > 1 and iter(batcher) is batcher:
+                batcher = list(batcher)
+            make = lambda: batcher
         history = []
         step = 0
         for _ in range(epochs):
-            for batch in batcher:
+            for batch in make():
                 loss = self.train_batch(batch)
                 step += 1
                 history.append({"step": step, "loss": loss})

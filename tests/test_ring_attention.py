@@ -60,3 +60,16 @@ def test_ring_long_sequence_sharded(mesh):
     want = _xla_attention(q, k, v, mask, scale=0.35)
     m = np.asarray(mask)[:, None, :, None]
     assert (np.abs(np.asarray(got) - np.asarray(want)) * m).max() < 1e-4
+
+
+def test_fully_masked_rows_output_zeros(mesh):
+    """A query row with NO valid key anywhere (all-pad text) must output
+    exactly zero — the pre-fix online softmax degenerated to exp(0)=1 per
+    key and returned mean(V) for such rows (review finding)."""
+    q, k, v, _ = _mk(16, seed=9)
+    mask = np.ones((2, 16), np.int32)
+    mask[1, :] = 0                       # batch row 1: every key masked
+    out = ring_attention(q, k, v, jnp.asarray(mask), mesh=mesh)
+    out = np.asarray(out)
+    assert np.abs(out[1]).max() == 0.0, np.abs(out[1]).max()
+    assert np.isfinite(out[0]).all() and np.abs(out[0]).max() > 0
