@@ -101,6 +101,10 @@ def main(argv=None):
     ap.add_argument("--rerank-prompt", default="G",
                     help="CE prompt ablation id (ce_prompts registry; the "
                     "paper's main prompt is G; L/M are Yes/No classifiers)")
+    ap.add_argument("--rerank-pack-t", type=int, default=None,
+                    help="CE sequence packing: short pairs bin-pack "
+                    "several-per-row (crossencoder.py pack_t; scores "
+                    "unchanged, higher rerank throughput on short docs)")
     add_mesh_args(ap)
     args = ap.parse_args(argv)
 
@@ -136,7 +140,8 @@ def main(argv=None):
         ranker = build_ranker(args.rerank_prompt, ce_params, ce_cfg, ce_tok,
                               batch_size=args.batchsize,
                               max_length=args.rerank_maxlen, mesh=mesh,
-                              quantize=args.quantize)
+                              quantize=args.quantize,
+                              pack_t=args.rerank_pack_t)
 
     import os
     loaded = False

@@ -46,6 +46,12 @@ def parse_args():
                    help="int8-quantize decoder projections: ~1.4x rerank at "
                         "GPT-J/BLOOM dims and half the weight HBM (6B fits "
                         "one v5e chip without --tp); see docs/PERF.md")
+    p.add_argument("--packt", type=int, default=None,
+                   help="sequence packing: (doc, query) pairs shorter than "
+                        "packt/2 tokens bin-pack several-per-row with "
+                        "block-diagonal attention (scores unchanged; "
+                        "tools/bench_ce_ragged.py --pack-t for the A/B). "
+                        "256 is a good default for short-doc BEIR sets")
     p.add_argument("--output", default=None,
                    help="per-dataset result json; with a comma --prompt list "
                         "the prompt id is inserted before the extension")
@@ -119,7 +125,8 @@ def main(args=None):
         shots = fewshots if (args.fewshot or prompt_id in FEW_SHOT) else None
         ranker = build_ranker(prompt_id, params, cfg, tokenizer,
                               fewshots=shots, batch_size=args.batchsize,
-                              max_length=args.maxseqlen, mesh=mesh)
+                              max_length=args.maxseqlen, mesh=mesh,
+                              pack_t=args.packt)
         reranked = rerank(ranker, corpus, queries, first_stage, top_k=args.topk)
         ndcg_ce, _map, recall, precision = EvaluateRetrieval.evaluate(
             qrels, reranked, k_values)

@@ -48,7 +48,8 @@ class CrossEncoderRanker:
                  prompt_doc_start: str = "{}\n{}\n",
                  batch_size: int = 16, max_length: Optional[int] = None,
                  vocab_subset: Optional[Sequence[int]] = None,
-                 quantize: Optional[str] = None, mesh=None):
+                 quantize: Optional[str] = None, mesh=None,
+                 pack_t: Optional[int] = None):
         if quantize is not None:
             # int8 decoder projections (ops/quant.py): ~1.4x at GPT-J/BLOOM
             # dims AND halves weight HBM — 6B CE fits one 16GB v5e chip
@@ -69,6 +70,21 @@ class CrossEncoderRanker:
         self.use_prompt = use_prompt
         self.batch_size = batch_size
         self.max_length = max_length or cfg.max_position_embeddings
+
+        # SEQUENCE PACKING: rows shorter than pack_t//2 bin-pack several to a
+        # row (block-diagonal attention + per-segment positions,
+        # models/decoder segment_ids) so ragged short-pair mixes fill every
+        # row to ~pack_t instead of paying the length-bucket padding. pack_t
+        # caps the dense (T, T) attention overcompute: at pack_t=256 the
+        # attention term is ~T/(3D) ~ 11% of layer FLOPs at 125M width (less
+        # at flagship widths), so cross-segment score waste stays marginal
+        # while the linear-term padding waste goes to ~zero.
+        self.pack_t = pack_t
+        if pack_t is not None:
+            if not 32 <= pack_t <= cfg.max_position_embeddings:
+                raise ValueError(
+                    f"pack_t={pack_t} out of range [32, "
+                    f"{cfg.max_position_embeddings}]")
 
         # tokens before the doc slot are the protected instruction prefix
         self.instruction_len = len(tokenizer.encode(
@@ -144,6 +160,109 @@ class CrossEncoderRanker:
         inp = (context_enc[:ilen] + body)[:-1]
         return inp, len(inp), len(continuation_enc)
 
+    # segments per packed row; bounds the one-hot segment reduction and the
+    # jit-compile S buckets (continuation_scores_packed n_seg static arg)
+    PACK_SEG_CAP = 16
+    # first-fit-decreasing runs inside windows of this many rows: O(n*bins)
+    # FFD over a whole BEIR rerank (1M pairs) would be quadratic; windowed
+    # FFD over length-sorted input loses almost nothing (neighbors in sorted
+    # order are the natural bin partners anyway)
+    PACK_FFD_WINDOW = 2048
+
+    def _score_packed(self, keys, rows, uniq, scores):
+        """Bin-pack short requests several-per-row and score per segment.
+
+        keys/rows arrive length-descending with every inplen <= pack_t//2, so
+        each bin holds >= 2 segments and first-fit-decreasing packs rows to
+        near-full. Scores land in `scores` via the same uniq fan-out as the
+        bucket path. Replaces padding waste the reference's fixed-row
+        batching pays on short pairs (crossencoder/beir/sgptce.py:168,214-217)."""
+        from .ops.logprobs import continuation_scores_packed
+
+        T = self.pack_t
+        bins: List[List] = []                      # [used, [(key, inp, inplen, contlen)]]
+        for w0 in range(0, len(keys), self.PACK_FFD_WINDOW):
+            window_bins: List[List] = []
+            for key, (inp, inplen, contlen) in zip(
+                    keys[w0 : w0 + self.PACK_FFD_WINDOW],
+                    rows[w0 : w0 + self.PACK_FFD_WINDOW]):
+                for b in window_bins:
+                    if b[0] + inplen <= T and len(b[1]) < self.PACK_SEG_CAP:
+                        b[0] += inplen
+                        b[1].append((key, inp, inplen, contlen))
+                        break
+                else:
+                    window_bins.append([inplen, [(key, inp, inplen, contlen)]])
+            bins.extend(window_bins)
+
+        budget = self.batch_size * self.max_length
+        B = row_bucket(max(1, budget // T))
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            B = ((max(B, dp) + dp - 1) // dp) * dp
+
+        pending: List[Tuple[List, jax.Array]] = []
+
+        def drain():
+            pbins, pout = pending.pop(0)
+            vals = np.asarray(pout, np.float64)
+            for bi, segs in enumerate(pbins):
+                for s, (key, _inp, _il, _cl) in enumerate(segs):
+                    for orig in uniq[key]:
+                        scores[orig] = vals[bi, s]
+
+        i = 0
+        while i < len(bins):
+            batch = bins[i : i + min(B, len(bins) - i)]
+            i += len(batch)
+            S = pick_bucket(max(len(b[1]) for b in batch),
+                            (2, 4, 8, 16), self.PACK_SEG_CAP)
+            maxcont = max(sum(seg[3] for seg in b[1]) for b in batch)
+            C = pick_bucket(maxcont, (8, 16, 32, 64, 128, 256), T)
+            C = max(C, maxcont)
+
+            ids = np.zeros((B, T), np.int32)
+            amask = np.zeros((B, T), np.int32)
+            posids = np.zeros((B, T), np.int32)
+            segids = np.full((B, T), -1, np.int32)
+            cpos = np.zeros((B, C), np.int32)
+            ctgt = np.zeros((B, C), np.int32)
+            cmask = np.zeros((B, C), np.float32)
+            cseg = np.zeros((B, C), np.int32)
+            for bi, (_used, segs) in enumerate(batch):
+                off = 0
+                cslot = 0
+                for s, (key, inp, inplen, contlen) in enumerate(segs):
+                    ids[bi, off : off + inplen] = inp
+                    amask[bi, off : off + inplen] = 1
+                    posids[bi, off : off + inplen] = np.arange(inplen)
+                    segids[bi, off : off + inplen] = s
+                    cont_ids = list(key[1])[-contlen:]
+                    cpos[bi, cslot : cslot + contlen] = np.arange(
+                        off + inplen - contlen, off + inplen)
+                    ctgt[bi, cslot : cslot + contlen] = cont_ids
+                    cmask[bi, cslot : cslot + contlen] = 1.0
+                    cseg[bi, cslot : cslot + contlen] = s
+                    cslot += contlen
+                    off += inplen
+
+            arrays = (jnp.asarray(ids), jnp.asarray(amask), jnp.asarray(posids),
+                      jnp.asarray(segids), jnp.asarray(cpos), jnp.asarray(ctgt),
+                      jnp.asarray(cmask), jnp.asarray(cseg))
+            if self.mesh is not None:
+                # XLA-path attention only (the decoder routes packed rows off
+                # the Pallas kernels), so jit's automatic partitioning owns
+                # the dp split — no shard_map wrapper needed here
+                arrays = tuple(jax.device_put(a, self._data_sharding)
+                               for a in arrays)
+            out = continuation_scores_packed(self.params, *arrays, self.cfg,
+                                             S, self.vocab_mask)
+            pending.append(([b[1] for b in batch], out))
+            if len(pending) >= FETCH_PIPELINE_DEPTH:
+                drain()
+        while pending:
+            drain()
+
     def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> List[float]:
         """pairs: (continuation, context) token-level requests, already prompted."""
         enc = []
@@ -177,6 +296,18 @@ class CrossEncoderRanker:
         # reference meaning: rows per dispatch at full max_length.
         budget = self.batch_size * self.max_length
         packed = [self._pack(list(c), list(t)) for c, t in keys]
+        if self.pack_t is not None:
+            # short rows leave the bucket path for the bin-packed path; the
+            # length-descending order survives the partition in both halves
+            half = self.pack_t // 2
+            short = [j for j in range(len(keys)) if packed[j][1] <= half]
+            if short:
+                short_set = set(short)
+                long_idx = [j for j in range(len(keys)) if j not in short_set]
+                self._score_packed([keys[j] for j in short],
+                                   [packed[j] for j in short], uniq, scores)
+                keys = [keys[j] for j in long_idx]
+                packed = [packed[j] for j in long_idx]
         # depth-2 fetch pipeline (same as EmbeddingEngine.encode): dispatch is
         # async, so deferring each batch's D2H by one step overlaps batch i's
         # compute with host-side packing of batch i+1 and the fetch RPC

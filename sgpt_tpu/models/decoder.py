@@ -49,10 +49,12 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 
 def rope_sincos(positions: jax.Array, rotary_dim: int):
-    """GPT-J style sin/cos tables, repeat-interleaved by 2. positions: (T,)."""
+    """GPT-J style sin/cos tables, repeat-interleaved by 2.
+    positions: (T,) shared across the batch, or (B, T) per-row (sequence
+    packing restarts positions at each segment boundary)."""
     inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]     # (T, rd/2)
-    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)                           # (T, rd)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq            # (..., T, rd/2)
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)                           # (..., T, rd)
     cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)
     return sin, cos
 
@@ -64,10 +66,13 @@ def _rotate_every_two(x: jax.Array) -> jax.Array:
 
 
 def apply_rotary(x: jax.Array, sin: jax.Array, cos: jax.Array, rotary_dim: int) -> jax.Array:
-    """x: (B, T, H, Dh); rotary applied to the leading `rotary_dim` of Dh."""
+    """x: (B, T, H, Dh); rotary applied to the leading `rotary_dim` of Dh.
+    sin/cos: (T, rd) batch-shared or (B, T, rd) per-row."""
     rot, rest = x[..., :rotary_dim], x[..., rotary_dim:]
-    sin = sin[None, :, None, :].astype(rot.dtype)
-    cos = cos[None, :, None, :].astype(rot.dtype)
+    if sin.ndim == 2:
+        sin, cos = sin[None], cos[None]
+    sin = sin[:, :, None, :].astype(rot.dtype)
+    cos = cos[:, :, None, :].astype(rot.dtype)
     rot = rot * cos + _rotate_every_two(rot) * sin
     return jnp.concatenate([rot, rest], axis=-1)
 
@@ -83,10 +88,15 @@ def alibi_slopes(num_heads: int) -> jax.Array:
     return jnp.asarray(slopes, dtype=jnp.float32)
 
 
-def build_alibi_bias(attention_mask: jax.Array, num_heads: int) -> jax.Array:
-    """(B, H, 1, T) bias = slope_h * key_position, matching HF `build_alibi_tensor`."""
-    positions = (jnp.cumsum(attention_mask, axis=-1) - 1) * attention_mask  # (B, T)
-    slopes = alibi_slopes(num_heads)                                        # (H,)
+def build_alibi_bias(attention_mask: jax.Array, num_heads: int,
+                     positions: Optional[jax.Array] = None) -> jax.Array:
+    """(B, H, 1, T) bias = slope_h * key_position, matching HF `build_alibi_tensor`.
+    positions: optional (B, T) override — sequence packing restarts key
+    positions at each segment boundary (cumsum-of-mask would keep counting
+    across packed segments)."""
+    if positions is None:
+        positions = (jnp.cumsum(attention_mask, axis=-1) - 1) * attention_mask  # (B, T)
+    slopes = alibi_slopes(num_heads)                                            # (H,)
     return slopes[None, :, None, None] * positions[:, None, None, :].astype(jnp.float32)
 
 
@@ -241,13 +251,19 @@ def mlp(x: jax.Array, p: dict, exact_gelu: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool,
-               causal: bool = True):
+               causal: bool = True, segment_ids: Optional[jax.Array] = None):
     """Build (B,1,T,T) fp32 additive biases: (global, local or None).
-    causal=False (BERT): only padding keys mask out."""
+    causal=False (BERT): only padding keys mask out.
+    segment_ids: optional (B, T) — sequence packing: queries attend only to
+    keys of the SAME segment (block-diagonal within the causal structure),
+    so packed segments are mutually invisible."""
     i = jnp.arange(T)[:, None]
     j = jnp.arange(T)[None, :]
     struct = (j <= i) if causal else jnp.ones((T, T), bool)
     keymask = attention_mask[:, None, None, :].astype(bool)          # (B,1,1,T)
+    if segment_ids is not None:
+        same_seg = (segment_ids[:, :, None] == segment_ids[:, None, :])
+        keymask = jnp.logical_and(keymask, same_seg[:, None])        # (B,1,T,T)
     ok_global = jnp.logical_and(struct[None, None], keymask)
     bias_global = jnp.where(ok_global, 0.0, NEG_INF)
     if not want_local:
@@ -262,6 +278,7 @@ def _mask_bias(attention_mask: jax.Array, T: int, window: int, want_local: bool,
 def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
             cfg: DecoderConfig, *, output_hidden_states: bool = False,
             position_ids: Optional[jax.Array] = None,
+            segment_ids: Optional[jax.Array] = None,
             sp_mesh=None, sp_axis: str = "dp",
             tp_mesh=None, tp_axis: str = "tp",
             token_type_ids: Optional[jax.Array] = None,
@@ -280,6 +297,12 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
     gate evaluates the per-shard width HD/tp — see fused_attention_layer);
     ignored when the fused kernel is off or the shape routes elsewhere.
 
+    segment_ids: optional (B, T) — SEQUENCE PACKING: multiple independent
+    texts share one row. Attention is block-diagonal (same-segment only),
+    and position_ids should restart at each segment (pass them as (B, T)).
+    Packed rows route to the XLA attention path (the Pallas kernels encode
+    only the causal+padding structure).
+
     cond/cond_params: TSDAE-style decoding conditioned on a (B, D) sentence
     embedding. The reference decodes with HF cross-attention to a SINGLE
     encoder token (losses/DenoisingAutoEncoderLoss.py:121-128); softmax over
@@ -292,6 +315,7 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
         return _forward_impl(params, input_ids, attention_mask, cfg,
                              output_hidden_states=output_hidden_states,
                              position_ids=position_ids,
+                             segment_ids=segment_ids,
                              sp_mesh=sp_mesh, sp_axis=sp_axis,
                              tp_mesh=tp_mesh, tp_axis=tp_axis,
                              token_type_ids=token_type_ids,
@@ -325,7 +349,8 @@ def ring_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
 
 
 def _forward_impl(params, input_ids, attention_mask, cfg, *,
-                  output_hidden_states, position_ids, sp_mesh=None,
+                  output_hidden_states, position_ids, segment_ids=None,
+                  sp_mesh=None,
                   sp_axis="dp", tp_mesh=None, tp_axis="tp",
                   token_type_ids=None, cond=None, cond_params=None):
     B, T = input_ids.shape
@@ -354,10 +379,21 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     if cfg.bidirectional and use_sp:
         raise NotImplementedError(
             "ring attention is causal-only; BERT sp encode is unsupported")
+    packed = segment_ids is not None
+    if packed and use_sp:
+        raise NotImplementedError(
+            "sequence packing (segment_ids) is unsupported under sp_mesh: "
+            "ring attention encodes only the causal+padding structure")
+    if packed and position_ids is None:
+        raise ValueError(
+            "segment_ids without position_ids: packed rows must carry (B, T) "
+            "positions that restart at each segment boundary — global arange "
+            "positions would shift every non-first segment's frame")
     # flash/fused Pallas kernels implement the causal mask; encoder
-    # (bidirectional) models take the XLA path
+    # (bidirectional) models and PACKED rows (block-diagonal segment masks)
+    # take the XLA path
     use_flash = (cfg.use_flash and T % 128 == 0 and not use_sp
-                 and not cfg.bidirectional)
+                 and not cfg.bidirectional and not packed)
     # fused short-T kernel: VMEM-resident scores. Lower cap because below
     # T~160 the (T, T) score traffic XLA pays is small enough that the
     # kernel's per-layer invocation overhead loses (measured A/B at T=75
@@ -375,7 +411,7 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         if tp_size == 1 or cfg.num_heads % tp_size:
             tp_mesh, tp_size = None, 1  # head slices must align; fall back
     if (cfg.fused_attention and not use_sp and not use_flash
-            and not cfg.bidirectional and 160 <= T <= 512):
+            and not cfg.bidirectional and not packed and 160 <= T <= 512):
         from ..ops.pallas.short_attention import fwd_fits_vmem
         # under TP the kernel runs per head-shard (shard_map), so the VMEM
         # residency is a function of the SHARD width HD/tp — GPT-J at tp=2
@@ -389,7 +425,11 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         if use_flash or use_sp or use_fused:
             slopes = alibi_slopes(cfg.num_heads)
         else:
-            alibi = build_alibi_bias(attention_mask, cfg.num_heads)
+            # packed rows: key positions restart per segment (position_ids
+            # carries the per-segment frame), matching each segment's
+            # standalone ALiBi bias exactly
+            alibi = build_alibi_bias(attention_mask, cfg.num_heads,
+                                     positions=positions if packed else None)
 
     any_local = any(cfg.local_flags())
     if use_flash or use_sp or use_fused:
@@ -397,7 +437,8 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     else:
         bias_global, bias_local = _mask_bias(attention_mask, T, cfg.local_window,
                                              any_local,
-                                             causal=not cfg.bidirectional)
+                                             causal=not cfg.bidirectional,
+                                             segment_ids=segment_ids)
     is_local = jnp.asarray(cfg.local_flags())
 
     layers = params["layers"]

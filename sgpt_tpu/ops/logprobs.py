@@ -76,6 +76,43 @@ def continuation_scores_gathered(params, input_ids, attention_mask,
     return jnp.sum(tok_lp, axis=1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_seg"))
+def continuation_scores_packed(params, input_ids, attention_mask,
+                               position_ids, segment_ids,
+                               cont_positions, cont_targets, cont_mask,
+                               cont_seg, cfg: DecoderConfig, n_seg: int,
+                               vocab_mask: Optional[jax.Array] = None):
+    """Per-SEGMENT continuation scores for sequence-packed rows.
+
+    Multiple independent (context, continuation) requests share one row:
+    attention is block-diagonal over `segment_ids` and positions restart per
+    segment (models/decoder.forward segment_ids docs), so each segment's
+    log-probs equal its standalone-row scores. Packing removes the padding
+    the reference's fixed-row batching pays on ragged mixes
+    (crossencoder/beir/sgptce.py:168,214-217): every row is ~full.
+
+    cont_seg: (B, C) int32 — which segment slot [0, n_seg) each continuation
+    slot belongs to (padding slots have cont_mask 0 and any slot value).
+    Returns (B, n_seg) summed log-probs; unused segment slots sum to 0.
+    """
+    h = forward(params, input_ids, attention_mask, cfg,
+                position_ids=position_ids, segment_ids=segment_ids)
+    hc = jnp.take_along_axis(
+        h, cont_positions[..., None].astype(jnp.int32), axis=1)     # (B, C, D)
+    lg = logits(params, hc, cfg).astype(jnp.float32)                # (B, C, V)
+    if vocab_mask is not None:
+        lg = jnp.where(vocab_mask[None, None, :], lg, jnp.float32(-jnp.inf))
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, cont_targets[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    tok_lp = jnp.where(cont_mask.astype(bool), tok_lp, 0.0)         # (B, C)
+    # one-hot segment reduction: C and n_seg are both small (<= a few hundred
+    # slots x <= 16 segments), so the (B, C, S) intermediate is cheap and the
+    # reduction stays a single fused matmul-like contraction on device
+    onehot = jax.nn.one_hot(cont_seg, n_seg, dtype=tok_lp.dtype)    # (B, C, S)
+    return jnp.einsum("bc,bcs->bs", tok_lp, onehot)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def greedy_continuations(params, input_ids, attention_mask, cfg: DecoderConfig):
     """Argmax next-token ids (B, T) — for greedy-match diagnostics."""
