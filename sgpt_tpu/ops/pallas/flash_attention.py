@@ -188,15 +188,232 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Trainable flash attention: Pallas forward + blockwise-scan backward.
+# Trainable flash attention: Pallas forward + Pallas backward (TPU) with a
+# blockwise-scan XLA fallback (other backends).
 #
-# The backward is the standard flash recipe (recompute P per KV tile from the
-# saved logsumexp; D = rowsum(dO ∘ O); dS = P ∘ (dP − D)) expressed as a
-# lax.scan over KV tiles — the (T, T) matrix never materializes, peak extra
-# memory is one (B, H, T, block_kv) tile. XLA compiles the scan body onto the
-# MXU; a hand-written Mosaic backward is a later optimization, not a
-# correctness need.
+# The backward is the standard flash recipe: recompute P per (q, kv) tile pair
+# from the saved logsumexp; D = rowsum(dO ∘ O); dS = P ∘ (dP − D). Two Mosaic
+# kernels split the accumulation so each owns one output and keeps its
+# accumulator in VMEM scratch:
+#   * dq kernel:    grid (B, H, n_q, n_kv) — same shape as the forward, dq
+#                   accumulates over KV tiles, causal/window tile pruning;
+#   * dk/dv kernel: grid (B, H, n_kv, n_q) — dk and dv accumulate over Q
+#                   tiles, pruning mirrored (q tiles strictly before the kv
+#                   tile's causal range are skipped).
+# Fully-masked (padded) query rows carry lse = NEG_INF from the forward;
+# p = where(mask, exp(s - lse), 0) keeps the where OUTSIDE the exp result so
+# the exp(0)=1 that NEG_INF-NEG_INF would produce never reaches the matmuls
+# (the r2 dead-row bug class; tests/test_flash_backward.py pins it).
 # ---------------------------------------------------------------------------
+
+
+def _bwd_tile_common(q, k, g, lse_t, D_t, slopes_ref, h, q_start, k_start,
+                     keymask_ref, b, *, scale, window, block_q, block_kv,
+                     use_alibi):
+    """Shared per-tile recompute: returns (p, ds) both (block_q, block_kv)."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+    mask = kpos <= qpos
+    if window > 0:
+        mask = jnp.logical_and(mask, kpos > qpos - window)
+    keymask = keymask_ref[b, :].astype(jnp.bool_)[None, :]
+    mask = jnp.logical_and(mask, keymask)
+    if use_alibi:
+        s = s + slopes_ref[0, h] * kpos.astype(jnp.float32)
+    p = jnp.where(mask, jnp.exp(s - lse_t), 0.0)
+    return p, mask
+
+
+def _flash_bwd_dq_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
+                         lse_ref, D_ref, dq_ref, dq_scr, *,
+                         scale, window, block_q, block_kv, use_alibi):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_kv
+    run = k_start <= q_start + block_q - 1
+    if window > 0:
+        run = jnp.logical_and(run, (k_start + block_kv - 1) > (q_start - window))
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)
+        lse_t = lse_ref[0, 0]                               # (block_q, 1)
+        D_t = D_ref[0, 0]                                   # (block_q, 1)
+        p, _ = _bwd_tile_common(q, k, g, lse_t, D_t, slopes_ref, h, q_start,
+                                k_start, keymask_ref, b, scale=scale,
+                                window=window, block_q=block_q,
+                                block_kv=block_kv, use_alibi=use_alibi)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - D_t)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    last_ki = jnp.minimum(n_kv - 1, (q_start + block_q - 1) // block_kv)
+
+    @pl.when(ki == last_ki)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
+                          lse_ref, D_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                          scale, window, block_q, block_kv, use_alibi):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_kv
+    # mirror of the dq pruning: this q tile sees the kv tile iff its last row
+    # is causally >= the tile start, and (window) its first row is in range
+    run = q_start + block_q - 1 >= k_start
+    if window > 0:
+        run = jnp.logical_and(run, q_start < k_start + block_kv - 1 + window)
+        last_qi = jnp.minimum(n_q - 1,
+                              (k_start + block_kv - 2 + window) // block_q)
+    else:
+        last_qi = n_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)
+        lse_t = lse_ref[0, 0]
+        D_t = D_ref[0, 0]
+        p, _ = _bwd_tile_common(q, k, g, lse_t, D_t, slopes_ref, h, q_start,
+                                k_start, keymask_ref, b, scale=scale,
+                                window=window, block_q=block_q,
+                                block_kv=block_kv, use_alibi=use_alibi)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (bkv, Dh)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - D_t)
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == last_qi)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "window", "block_q", "block_kv", "interpret"))
+def flash_attention_bwd(q, k, v, key_mask, alibi_slopes, g, out, lse, *,
+                        scale: float = 1.0, window: int = 0,
+                        block_q: int = 128, block_kv: int = 128,
+                        interpret: Optional[bool] = None):
+    """Pallas flash backward: (dq, dk, dv) in q/k/v dtypes.
+
+    g: cotangent of the output (B, H, T, Dh); out/lse: forward residuals.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, T, Dh = q.shape
+    block_q = min(block_q, T)
+    block_kv = min(block_kv, T)
+    assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
+    n_q, n_kv = T // block_q, T // block_kv
+
+    if alibi_slopes is None:
+        slopes = jnp.zeros((H,), jnp.float32)
+        use_alibi = False
+    else:
+        slopes = alibi_slopes.astype(jnp.float32)
+        use_alibi = True
+
+    D = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                axis=-1, keepdims=True)                     # (B, H, T, 1)
+    lse4 = lse[..., None] if lse.ndim == 3 else lse         # (B, H, T, 1)
+
+    common = dict(scale=scale, window=window if window > 0 else 0,
+                  block_q=block_q, block_kv=block_kv, use_alibi=use_alibi)
+    try:
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"))
+    except TypeError:
+        cp = None
+    cp_kw = {"compiler_params": cp} if cp else {}
+    km = key_mask.astype(jnp.int32)
+
+    def qspec(idx):
+        return pl.BlockSpec((1, 1, block_q, Dh), idx)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((B, block_kv), lambda b, h, qi, ki: (0, ki)),
+            pl.BlockSpec((1, H), lambda b, h, qi, ki: (0, 0)),
+            qspec(lambda b, h, qi, ki: (b, h, qi, 0)),                   # q
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, qi, ki: (b, h, ki, 0)),
+            qspec(lambda b, h, qi, ki: (b, h, qi, 0)),                   # g
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_specs=qspec(lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, Dh), jnp.float32)],
+        **cp_kw, interpret=interpret,
+    )(km, slopes[None, :], q, k, v, g, lse4, D)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(B, H, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((B, block_kv), lambda b, h, ki, qi: (0, ki)),
+            pl.BlockSpec((1, H), lambda b, h, ki, qi: (0, 0)),
+            qspec(lambda b, h, ki, qi: (b, h, qi, 0)),                   # q
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, ki, qi: (b, h, ki, 0)),
+            qspec(lambda b, h, ki, qi: (b, h, qi, 0)),                   # g
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, Dh), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, H, T, Dh), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, T, Dh), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_kv, Dh), jnp.float32),
+                        pltpu.VMEM((block_kv, Dh), jnp.float32)],
+        **cp_kw, interpret=interpret,
+    )(km, slopes[None, :], q, k, v, g, lse4, D)
+    return dq, dk, dv
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention_trainable(q, k, v, key_mask, alibi_slopes,
@@ -216,6 +433,21 @@ def _flash_fwd(q, k, v, key_mask, alibi_slopes, scale, window, block_kv):
 
 
 def _flash_bwd(scale, window, block_kv, residuals, g):
+    q, k, v, key_mask, alibi_slopes, out, lse = residuals
+    if jax.default_backend() == "tpu":
+        # Mosaic backward: tiled recompute entirely in VMEM (the forward's
+        # memory/time profile carries to the grad step; measured vs the scan
+        # fallback in docs/PERF.md)
+        dq, dk, dv = flash_attention_bwd(q, k, v, key_mask, alibi_slopes, g,
+                                         out, lse, scale=scale, window=window,
+                                         block_kv=block_kv)
+        return dq, dk, dv, None, None
+    return _flash_bwd_scan(scale, window, block_kv, residuals, g)
+
+
+def _flash_bwd_scan(scale, window, block_kv, residuals, g):
+    """XLA lax.scan backward — the non-TPU fallback (and the parity oracle
+    the Pallas backward is tested against)."""
     q, k, v, key_mask, alibi_slopes, out, lse = residuals
     B, H, T, Dh = q.shape
     bkv = min(block_kv, T)

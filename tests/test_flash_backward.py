@@ -98,3 +98,78 @@ def test_flash_forward_in_decoder_trainable():
     gx = jax.grad(loss_xla)(params)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.parametrize("window,use_alibi,scale", [
+    (0, False, 0.17677),   # global scaled
+    (0, False, 1.0),       # gpt-neo unscaled
+    (64, False, 0.17677),  # local window
+    (0, True, 0.17677),    # alibi
+])
+def test_pallas_bwd_matches_scan(window, use_alibi, scale):
+    """The Mosaic backward kernels == the XLA scan backward, from the SAME
+    forward residuals (out, lse)."""
+    from sgpt_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_attention_bwd, _flash_bwd_scan)
+
+    q, k, v, mask = _mk(seed=10 + window + int(use_alibi))
+    slopes = alibi_slopes(2) if use_alibi else None
+    out, lse = flash_attention(q, k, v, mask, slopes, scale=scale,
+                               window=window, return_residuals=True)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=q.shape) * 0.5, jnp.float32)
+    residuals = (q, k, v, mask, slopes, out, lse)
+    want = _flash_bwd_scan(scale, window, 128, residuals, g)[:3]
+    got = flash_attention_bwd(q, k, v, mask, slopes, g, out, lse,
+                              scale=scale, window=window)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
+
+
+def test_pallas_bwd_fully_masked_rows_zero():
+    """Leading padded keys make early causal query rows fully masked
+    (lse = NEG_INF); their dq must be 0 and dk/dv on masked keys must be 0 —
+    not the exp(0)=1 garbage NEG_INF - NEG_INF would produce (r2 bug class)."""
+    from sgpt_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_attention_bwd, _flash_bwd_scan)
+
+    B, H, T, Dh = 1, 2, 256, 32
+    rng = np.random.default_rng(5)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, H, T, Dh)) * 0.3, jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    mask = np.ones((B, T), np.int32)
+    mask[0, :140] = 0                 # rows 0..139 see NO live keys (causal)
+    mask = jnp.asarray(mask)
+    out, lse = flash_attention(q, k, v, mask, None, scale=0.2,
+                               return_residuals=True)
+    g = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    dq, dk, dv = flash_attention_bwd(q, k, v, mask, None, g, out, lse,
+                                     scale=0.2)
+    dq, dk, dv = map(np.asarray, (dq, dk, dv))
+    assert np.all(np.isfinite(dq)) and np.all(np.isfinite(dk))
+    np.testing.assert_array_equal(dq[0, :, :140], 0.0)   # dead query rows
+    np.testing.assert_array_equal(dk[0, :, :140], 0.0)   # masked keys
+    np.testing.assert_array_equal(dv[0, :, :140], 0.0)
+    want = _flash_bwd_scan(0.2, 0, 128, (q, k, v, mask, None, out, lse), g)
+    for a, b, name in zip((dq, dk, dv), want, "qkv"):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_pallas_bwd_uneven_blocks():
+    """block_q != block_kv and T spanning multiple tiles of each."""
+    from sgpt_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_attention_bwd, _flash_bwd_scan)
+
+    q, k, v, mask = _mk(T=512, seed=9)
+    out, lse = flash_attention(q, k, v, mask, None, scale=0.17677, window=128,
+                               block_q=128, block_kv=256,
+                               return_residuals=True)
+    g = jnp.asarray(np.random.default_rng(4).normal(size=q.shape), jnp.float32)
+    got = flash_attention_bwd(q, k, v, mask, None, g, out, lse, scale=0.17677,
+                              window=128, block_q=128, block_kv=256)
+    want = _flash_bwd_scan(0.17677, 128, 256, (q, k, v, mask, None, out, lse), g)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
