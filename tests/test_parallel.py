@@ -1,6 +1,7 @@
 """Mesh + TP sharding: the decoder must produce identical results sharded vs not,
 and params must actually partition (dp×tp over the 8 virtual CPU devices)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -273,3 +274,89 @@ def test_ce_tp_fused_scores_match_single():
     assert ranker._tp_mesh is mesh and ranker._mesh_score is None
     got = ranker.predict(pairs)
     np.testing.assert_allclose(got, single, rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice topology arrangement (parallel/mesh.arrange_devices)
+# ---------------------------------------------------------------------------
+
+class _StubDev:
+    """Fake device carrying the TPU topology attributes mesh.py reads."""
+    def __init__(self, i, slice_index=None, coords=None):
+        self.id = i
+        if slice_index is not None:
+            self.slice_index = slice_index
+        if coords is not None:
+            self.coords = coords
+
+    def __repr__(self):
+        return f"D{self.id}"
+
+
+def _ids(arr):
+    return [[d.id for d in row] for row in arr]
+
+
+def test_arrange_multislice_tp_stays_on_ici():
+    """2 slices x 4 chips, tp=2: every tp pair is same-slice; dp rows are
+    slice-major (rows 0-1 slice 0, rows 2-3 slice 1)."""
+    from sgpt_tpu.parallel.mesh import arrange_devices
+
+    devs = [_StubDev(i, slice_index=i // 4) for i in range(8)]
+    arr = arrange_devices(devs, dp=4, tp=2)
+    assert arr.shape == (4, 2)
+    for row in arr:
+        assert len({d.slice_index for d in row}) == 1  # tp never crosses DCN
+    assert [d.slice_index for d in arr[:, 0]] == [0, 0, 1, 1]  # slice-major dp
+
+
+def test_arrange_multislice_interleaved_input_order():
+    """Device list arriving interleaved across slices still groups correctly."""
+    from sgpt_tpu.parallel.mesh import arrange_devices
+
+    devs = [_StubDev(i, slice_index=i % 2) for i in range(8)]  # 0,1,0,1,...
+    arr = arrange_devices(devs, dp=4, tp=2)
+    for row in arr:
+        assert len({d.slice_index for d in row}) == 1
+    # all 8 devices present exactly once
+    assert sorted(d.id for row in arr for d in row) == list(range(8))
+
+
+def test_arrange_rejects_tp_across_dcn():
+    from sgpt_tpu.parallel.mesh import arrange_devices
+
+    devs = [_StubDev(i, slice_index=i // 4) for i in range(8)]
+    with pytest.raises(ValueError, match="ICI"):
+        arrange_devices(devs, dp=1, tp=8)   # tp=8 > slice size 4
+
+
+def test_arrange_rejects_uneven_slices():
+    from sgpt_tpu.parallel.mesh import arrange_devices
+
+    devs = ([_StubDev(i, slice_index=0) for i in range(4)]
+            + [_StubDev(4 + i, slice_index=1) for i in range(2)])
+    with pytest.raises(ValueError, match="uneven"):
+        arrange_devices(devs, dp=3, tp=2)
+
+
+def test_arrange_single_slice_plain_reshape():
+    """No slice_index (CPU/virtual devices): row-major reshape, old behavior."""
+    from sgpt_tpu.parallel.mesh import arrange_devices
+
+    devs = [_StubDev(i) for i in range(8)]
+    arr = arrange_devices(devs, dp=2, tp=4)
+    assert _ids(arr) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+def test_make_mesh_virtual_devices_still_works():
+    """Integration: the virtual 8-device CPU mesh builds and runs a psum."""
+    from sgpt_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    x = jnp.arange(8.0).reshape(4, 2)
+    y = jax.jit(jax.shard_map(lambda a: jax.lax.psum(a, "dp"), mesh=mesh,
+                              in_specs=P("dp", "tp"), out_specs=P(None, "tp"),
+                              check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(y)[0], [0 + 2 + 4 + 6, 1 + 3 + 5 + 7])
