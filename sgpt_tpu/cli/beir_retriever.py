@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("--modelname", default="EleutherAI/gpt-neo-125M")
     p.add_argument("--dataset", default="scifact")
     p.add_argument("--datapath", default="./datasets")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the BEIR dataset zip if --datapath/<dataset> "
+                        "is missing (egress-gated: off by default; "
+                        "baselines.fetch_beir_dataset)")
     p.add_argument("--method", default="weightedmean",
                    choices=["mean", "meanmean", "weightedmean", "lasttoken",
                             "lasttokenmean"])
@@ -73,6 +77,10 @@ def main(args=None):
     from ..retrieval import DenseRetriever
 
     data_path = os.path.join(args.datapath, args.dataset)
+    if getattr(args, "download", False) and not os.path.isdir(data_path):
+        # egress-gated: nothing fetches unless this flag is passed explicitly
+        from ..baselines import fetch_beir_dataset
+        fetch_beir_dataset(args.dataset, out_dir=args.datapath)
     split = "dev" if args.dataset == "msmarco" else "test"
     corpus, queries, qrels = load_beir_dataset(data_path, split)
 

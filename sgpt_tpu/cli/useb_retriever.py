@@ -23,6 +23,11 @@ def parse_args():
     p.add_argument("--maxseqlen", type=int, default=None)
     p.add_argument("--specb", action="store_true")
     p.add_argument("--datapath", default="./data-eval")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the USEB eval archive if --datapath is "
+                        "missing (egress-gated: off by default; "
+                        "baselines.fetch_useb_data extracts data/eval and "
+                        "--datapath should point there, e.g. ./data/eval)")
     p.add_argument("--evaltype", default="test", choices=["valid", "test"])
     p.add_argument("--tasks", nargs="+",
                    default=["askubuntu", "cqadupstack", "twitterpara", "scidocs"])
@@ -53,6 +58,12 @@ def main(args=None):
                              specb=args.specb, layeridx=args.layeridx,
                              max_seq_len=args.maxseqlen,
                              batch_size=args.batchsize)
+
+    import os
+    if getattr(args, "download", False) and not os.path.isdir(args.datapath):
+        from ..baselines import fetch_useb_data
+        fetched = fetch_useb_data("eval")
+        args.datapath = fetched[0]
 
     semb_fns = {task: engine.encode for task in args.tasks}
     results, mains = run(semb_fns, eval_type=args.evaltype,

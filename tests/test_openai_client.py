@@ -3,6 +3,7 @@ HTTP server (zero egress; reference call path
 beir_openai_embeddings_batched_parallel.py:193-266)."""
 import io
 import json
+import os
 import threading
 import zipfile
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -35,17 +36,25 @@ class _FakeAPI(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(out)
 
-    def do_GET(self):  # dataset zip endpoint
-        if not self.path.endswith("toy.zip"):
+    def do_GET(self):  # dataset zip endpoints
+        buf = io.BytesIO()
+        if self.path.endswith("toy.zip"):
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("toy/corpus.jsonl",
+                           json.dumps({"_id": "d0", "title": "", "text": "x"}))
+                z.writestr("toy/queries.jsonl", json.dumps({"_id": "q0", "text": "x"}))
+                z.writestr("toy/qrels/test.tsv", "query-id\tcorpus-id\tscore\n")
+        elif self.path.endswith(("data-eval.zip", "data-train.zip")):
+            split = "eval" if "eval" in self.path else "train"
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr(f"data/{split}/askubuntu/test.txt", "0\tq\td\n")
+        elif self.path.endswith("evil.zip"):
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("../escape.txt", "zip-slip")
+        else:
             self.send_response(404)
             self.end_headers()
             return
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w") as z:
-            z.writestr("toy/corpus.jsonl",
-                       json.dumps({"_id": "d0", "title": "", "text": "x"}))
-            z.writestr("toy/queries.jsonl", json.dumps({"_id": "q0", "text": "x"}))
-            z.writestr("toy/qrels/test.tsv", "query-id\tcorpus-id\tscore\n")
         data = buf.getvalue()
         self.send_response(200)
         self.send_header("Content-Length", str(len(data)))
@@ -116,3 +125,55 @@ def test_fetch_beir_dataset_clear_error(tmp_path):
     with pytest.raises(RuntimeError, match="zero-egress"):
         fetch_beir_dataset("nope", out_dir=str(tmp_path / "ds"),
                            base_url="http://127.0.0.1:9")  # closed port
+
+
+def _zip_sha256(server_url, name):
+    import hashlib
+    import urllib.request
+    with urllib.request.urlopen(f"{server_url}/{name}") as r:
+        return hashlib.sha256(r.read()).hexdigest()
+
+
+def test_fetch_beir_dataset_checksum_ok_and_mismatch(server, tmp_path):
+    from sgpt_tpu.baselines.openai_client import fetch_beir_dataset
+
+    good = _zip_sha256(server, "toy.zip")
+    out = fetch_beir_dataset("toy", out_dir=str(tmp_path / "a"),
+                             base_url=server, sha256=good)
+    assert os.path.exists(os.path.join(out, "corpus.jsonl"))
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        fetch_beir_dataset("toy", out_dir=str(tmp_path / "b"),
+                           base_url=server, sha256="0" * 64)
+    # the rejected archive leaves NOTHING behind (no _part, no zip)
+    assert os.listdir(tmp_path / "b") == []
+
+
+def test_fetch_useb_data(server, tmp_path):
+    from sgpt_tpu.baselines.openai_client import fetch_useb_data
+
+    dirs = fetch_useb_data("all", out_dir=str(tmp_path), base_url=server)
+    assert [os.path.basename(d) for d in dirs] == ["train", "eval"]
+    assert os.path.exists(
+        os.path.join(tmp_path, "data", "eval", "askubuntu", "test.txt"))
+    # second call short-circuits on the extracted layout (no network hit
+    # needed: point base_url at a closed port)
+    again = fetch_useb_data("eval", out_dir=str(tmp_path),
+                            base_url="http://127.0.0.1:9")
+    assert [os.path.basename(d) for d in again] == ["eval"]
+
+
+def test_fetch_useb_data_validates_selector(tmp_path):
+    from sgpt_tpu.baselines.openai_client import fetch_useb_data
+
+    with pytest.raises(ValueError, match="which"):
+        fetch_useb_data("dev", out_dir=str(tmp_path))
+
+
+def test_zip_slip_rejected(server, tmp_path):
+    from sgpt_tpu.baselines.openai_client import _http_download, _safe_extract
+
+    zp = str(tmp_path / "evil.zip")
+    _http_download(f"{server}/evil.zip", zp)
+    with pytest.raises(RuntimeError, match="escapes"):
+        _safe_extract(zp, str(tmp_path / "out"))
+    assert not os.path.exists(tmp_path / "escape.txt")
