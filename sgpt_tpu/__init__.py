@@ -12,6 +12,7 @@ Public surface:
     encoder     — EmbeddingEngine: jit-compiled batched encode with length bucketing
     retrieval   — DenseRetriever: sharded brute-force MIPS with on-device top-k merge
     crossencoder— zero-shot log-prob reranker
+    modules     — upstream ST word-level modules (WordEmbeddings/BoW/CNN/LSTM)
     losses      — MultipleNegativesRankingLoss (+ distributed negatives), GradCache
     training    — contrastive fit loop, BitFit masking, schedules, checkpoints
     evaluation  — BEIR/USEB/STS metrics and harnesses
