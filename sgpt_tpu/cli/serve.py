@@ -170,6 +170,7 @@ def main(argv=None):
     if not args.no_warmup:
         logger.info("warming encode buckets (compile-before-traffic) ...")
         engine.warmup()
+        service.warm_search()
 
     server = make_server(service, args.host, args.port,
                          model_name=args.modelname,

@@ -196,6 +196,13 @@ class SearchService:
             lambda pairs: ranker.predict(list(pairs)),
             max_items=max_batch_items, max_wait_ms=max_wait_ms, name="rerank")
             if ranker is not None else None)
+        # index searches coalesce as well: without this, N concurrent
+        # single-query requests serialize N device dispatches behind the
+        # index lock, and the per-dispatch relay RPC caps /search at ~25 QPS
+        # regardless of concurrency (measured; tools/bench_http_serving.py)
+        self._s_batcher = MicroBatcher(
+            self._batched_search, max_items=max_batch_items,
+            max_wait_ms=max_wait_ms, name="search")
 
     # -- embedding ----------------------------------------------------------
     def embed(self, texts: Sequence[str], *, is_query: bool = False) -> np.ndarray:
@@ -257,14 +264,53 @@ class SearchService:
             return len(self.index)
 
     # -- search -------------------------------------------------------------
+    def _batched_search(self, items) -> List[tuple]:
+        """Micro-batch fn: items are (query_embedding_row, k) pairs from
+        concurrent search() calls; ONE padded-Q index dispatch serves all.
+
+        Q pads to a power-of-two bucket (filler = copies of row 0, trimmed
+        before return) so the jit compile count stays log-bounded instead of
+        one compile per coalesced size."""
+        kmax = max(k for _, k in items)
+        rows = np.stack([np.asarray(e, np.float32) for e, _ in items])
+        n = len(rows)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket > n:
+            rows = np.concatenate(
+                [rows, np.broadcast_to(rows[:1], (bucket - n, rows.shape[1]))])
+        with self._lock:
+            scores, ids = self.index.search_embeddings(rows, k=kmax)
+            self._queries_served += n
+        return [(s[:k], i[:k])
+                for (s, i, (_, k)) in zip(scores[:n], ids[:n], items)]
+
+    def warm_search(self, max_queries: int = 64,
+                    ks: Sequence[int] = (10,)) -> "SearchService":
+        """Precompile index-search dispatch shapes. _batched_search pads Q to
+        power-of-two buckets, and the index jit compiles per (Q, k) — warm
+        each bucket a deployment will coalesce to before opening traffic,
+        like EmbeddingEngine.warmup() does for encode shapes."""
+        if len(self.index) == 0 or not self.index.is_built:
+            return self
+        rng = np.random.default_rng(0)
+        b = 1
+        while b <= max_queries:
+            q = rng.standard_normal((b, self.engine.out_dim)).astype(np.float32)
+            with self._lock:
+                for k in ks:
+                    self.index.search_embeddings(q, k=k)
+            b *= 2
+        return self
+
     def search(self, queries: Sequence[str], *, k: int = 10,
                return_documents: bool = False) -> List[List[dict]]:
         q_emb = self.embed(queries, is_query=True)
+        rows = self._s_batcher([(e, int(k)) for e in np.asarray(q_emb)])
+        out = []
         with self._lock:
-            scores, ids = self.index.search_embeddings(q_emb, k=k)
-            self._queries_served += len(queries)
-            out = []
-            for row_s, row_i in zip(scores, ids):
+            for row_s, row_i in rows:
                 hits = []
                 for s, i in zip(row_s, row_i):
                     hit = {"id": i, "score": float(s)}
@@ -366,6 +412,7 @@ class SearchService:
     def close(self):
         self._q_batcher.close()
         self._d_batcher.close()
+        self._s_batcher.close()
         if self._r_batcher is not None:
             self._r_batcher.close()
 
@@ -551,7 +598,13 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
     """
     handler = type("BoundHandler", (_Handler,),
                    {"service": service, "model_name": model_name})
-    srv = ThreadingHTTPServer((host, port), handler)
+    # TCPServer's default listen backlog is 5: a burst of >5 simultaneous
+    # client connects overflows the accept queue and the kernel sends RST
+    # (measured: 32 keep-alive clients reset at level start). Serving is
+    # exactly that shape — many clients connecting at once — so raise it.
+    srv_cls = type("BoundServer", (ThreadingHTTPServer,),
+                   {"request_queue_size": 128})
+    srv = srv_cls((host, port), handler)
     srv.index_path = index_path
     srv.allow_save_path = allow_save_path
     return srv

@@ -483,3 +483,65 @@ def test_concurrent_http_searches_coalesce(server, service):
     assert not errs
     assert all(results[i] == "sea" for i in range(12))
     assert service._q_batcher.dispatches - before < 12
+
+
+def test_coalesced_search_mixed_k(service):
+    """Concurrent searches with DIFFERENT k coalesce into one padded-Q
+    index dispatch; each caller still gets exactly its own k rows."""
+    before = service._s_batcher.dispatches
+    out = {}
+
+    def one(i, k):
+        out[(i, k)] = service.search([DOCS["py"]], k=k)[0]
+
+    threads = [threading.Thread(target=one, args=(i, k))
+               for i, k in enumerate([1, 2, 3, 1, 2])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for (i, k), hits in out.items():
+        assert len(hits) == k, (i, k, hits)
+        assert hits[0]["id"] == "py"
+    assert service._s_batcher.dispatches > before
+
+
+def test_warm_search_precompiles_buckets(service):
+    # no-op safety on a built index; compiles Q buckets without touching
+    # results
+    service.warm_search(max_queries=4, ks=(1, 2))
+    assert service.search([DOCS["tpu"]], k=1)[0][0]["id"] == "tpu"
+
+
+def test_warm_search_empty_index_is_noop():
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(1))
+    engine = EmbeddingEngine(params, cfg,
+                             SimpleTokenizer(vocab_size=cfg.vocab_size),
+                             batch_size=2, normalize_embeddings=True)
+    svc = SearchService(engine, DenseIndex(engine.out_dim,
+                                           normalize_embeddings=True))
+    try:
+        svc.warm_search()  # must not raise on the empty, unbuilt index
+    finally:
+        svc.close()
+
+
+def test_server_backlog_accepts_connect_burst(server):
+    """>5 simultaneous keep-alive connects (the old TCPServer default
+    backlog) must all be accepted — a 64-client burst used to get RSTs."""
+    conns = []
+    try:
+        for _ in range(24):
+            c = http.client.HTTPConnection(*server.server_address[:2],
+                                           timeout=30)
+            c.connect()
+            conns.append(c)
+        for c in conns:
+            c.request("GET", "/healthz")
+            r = c.getresponse()
+            assert r.status == 200
+            r.read()  # drain the keep-alive body
+    finally:
+        for c in conns:
+            c.close()

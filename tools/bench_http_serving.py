@@ -1,6 +1,6 @@
 """End-to-end HTTP serving benchmark: query text -> top-k ids, over the wire.
 
-    python tools/bench_http_serving.py --ndocs 1000000 --clients 1,8,32
+    python tools/bench_http_serving.py --ndocs 1000000 --clients 1,8,64
 
 Measures the full production path on real hardware: HTTP request ->
 micro-batcher coalescing -> jit encode (real 125M forward) -> DenseIndex
@@ -11,7 +11,15 @@ text through the real model, every request unique (cache/memoization-proof).
 
 The interesting curve is concurrency: single-stream p50 is dominated by the
 per-dispatch relay latency, while concurrent clients coalesce in the
-micro-batcher so QPS rises much faster than p95.
+micro-batcher so QPS rises much faster than p95/p99.
+
+Endpoints (--endpoints search,embeddings,rerank):
+  search      POST /search       — encode 1 query + index top-k
+  embeddings  POST /v1/embeddings — encode only (OpenAI wire shape)
+  rerank      POST /rerank       — two-stage: top-first_k retrieval + SGPT-CE
+              log-prob scoring of every (query, doc) pair (--rerank-first-k
+              pairs per request; pairs from concurrent clients coalesce).
+--index ivf swaps the exact index for the balanced-IVF one (same wire).
 """
 import argparse
 import http.client
@@ -30,8 +38,10 @@ WORDS = ("semantic search embedding retrieval ranking neural transformer "
          "query document passage relevance corpus index token attention").split()
 
 
-def run_level(addr, n_clients: int, n_queries: int, k: int, seed: int):
-    """Each client sends n_queries single-query searches; returns latencies."""
+def run_level(addr, n_clients: int, n_queries: int, seed: int, make_request):
+    """Each client sends n_queries requests; returns latencies + wall time.
+
+    make_request(rng, cid, i) -> (path, body_dict, validate_fn)."""
     lat, errs = [], []
 
     def client(cid: int):
@@ -39,16 +49,16 @@ def run_level(addr, n_clients: int, n_queries: int, k: int, seed: int):
         conn = http.client.HTTPConnection(*addr, timeout=600)
         try:
             for i in range(n_queries):
-                q = " ".join(rng.choices(WORDS, k=rng.randrange(4, 12))) \
-                    + f" {cid}-{i}"
-                body = json.dumps({"queries": [q], "k": k})
+                path, body, validate = make_request(rng, cid, i)
+                payload_bytes = json.dumps(body)
                 t0 = time.perf_counter()
-                conn.request("POST", "/search", body,
+                conn.request("POST", path, payload_bytes,
                              {"Content-Type": "application/json"})
                 r = conn.getresponse()
                 payload = json.loads(r.read())
                 dt = time.perf_counter() - t0
-                assert r.status == 200 and len(payload["results"][0]) == k
+                assert r.status == 200, payload
+                validate(payload)
                 lat.append(dt)
         except Exception as e:  # pragma: no cover
             errs.append(e)
@@ -68,15 +78,78 @@ def run_level(addr, n_clients: int, n_queries: int, k: int, seed: int):
     return np.asarray(lat), wall
 
 
+def _query_text(rng):
+    return " ".join(rng.choices(WORDS, k=rng.randrange(4, 12)))
+
+
+def make_search(k):
+    def make(rng, cid, i):
+        body = {"queries": [_query_text(rng) + f" {cid}-{i}"], "k": k}
+
+        def validate(p):
+            assert len(p["results"][0]) == k
+        return "/search", body, validate
+    return make
+
+
+def make_embeddings(dim):
+    def make(rng, cid, i):
+        body = {"input": _query_text(rng) + f" {cid}-{i}", "is_query": True}
+
+        def validate(p):
+            assert len(p["data"][0]["embedding"]) == dim
+        return "/v1/embeddings", body, validate
+    return make
+
+
+def make_rerank(k, first_k):
+    def make(rng, cid, i):
+        body = {"queries": [_query_text(rng) + f" {cid}-{i}"],
+                "k": k, "first_k": first_k}
+
+        def validate(p):
+            hits = p["results"][0]
+            assert len(hits) == k and "ce_score" in hits[0]
+        return "/rerank", body, validate
+    return make
+
+
+def measure_endpoint(name, addr, make_request, clients, n_queries):
+    rows = []
+    for c in clients:
+        lat, wall = run_level(addr, c, n_queries, seed=c,
+                              make_request=make_request)
+        rows.append({
+            "clients": c, "requests": int(lat.size),
+            "qps": round(lat.size / wall, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1),
+        })
+        print(json.dumps({"endpoint": name, **rows[-1]}), file=sys.stderr)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=1_000_000)
-    ap.add_argument("--clients", default="1,8,32")
+    ap.add_argument("--clients", default="1,8,64")
     ap.add_argument("--queries-per-client", type=int, default=16)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--endpoints", default="search,embeddings",
+                    help="comma list of search,embeddings,rerank")
+    ap.add_argument("--index", choices=["exact", "ivf"], default="exact")
+    ap.add_argument("--nprobe", type=int, default=32)
     ap.add_argument("--quantize-index", choices=["int8"], default=None)
+    ap.add_argument("--rerank-first-k", type=int, default=32,
+                    help="(query, doc) CE pairs scored per rerank request")
+    ap.add_argument("--rerank-clients", default=None,
+                    help="override --clients for the rerank endpoint "
+                    "(CE pairs are ~first_k x heavier than a search)")
     ap.add_argument("--maxseqlen", type=int, default=64)
     args = ap.parse_args()
+    endpoints = args.endpoints.split(",")
+    clients = [int(x) for x in args.clients.split(",")]
 
     import jax
 
@@ -94,10 +167,17 @@ def main():
                              specb=True, max_seq_len=args.maxseqlen,
                              batch_size=64, normalize_embeddings=True)
 
-    print(f"building index: {args.ndocs} docs "
+    print(f"building index: {args.index}, {args.ndocs} docs "
           f"({args.quantize_index or 'bf16'}) ...", file=sys.stderr)
-    index = DenseIndex(engine.out_dim, normalize_embeddings=True,
-                       quantize=args.quantize_index)
+    if args.index == "ivf":
+        from sgpt_tpu.index_ivf import IVFIndex
+        n_clusters = max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
+        index = IVFIndex(engine.out_dim, n_clusters=n_clusters,
+                         nprobe=args.nprobe, normalize_embeddings=True,
+                         quantize=args.quantize_index)
+    else:
+        index = DenseIndex(engine.out_dim, normalize_embeddings=True,
+                           quantize=args.quantize_index)
     rng = np.random.default_rng(0)
     chunk = 250_000
     for s in range(0, args.ndocs, chunk):
@@ -106,35 +186,59 @@ def main():
         index.add(emb, ids=[str(s + i) for i in range(n)])
     index.build()
 
-    service = SearchService(engine, index, max_wait_ms=3.0)
+    ranker, documents = None, None
+    if "rerank" in endpoints:
+        # rerank needs retained texts (CE scores (query, doc_text) pairs) and
+        # a ranker; share the encoder's weights like `serve --rerank` does
+        from sgpt_tpu.ce_prompts import build_ranker
+        ranker = build_ranker("G", params, cfg, tokenizer, batch_size=64,
+                              max_length=256)
+        rng_d = random.Random(7)
+        documents = {str(i): " ".join(rng_d.choices(WORDS, k=12))
+                     for i in range(args.ndocs)}
+        print(f"retained {len(documents)} doc texts for rerank",
+              file=sys.stderr)
+
+    service = SearchService(engine, index, max_wait_ms=3.0,
+                            documents=documents, ranker=ranker)
     server = make_server(service, port=0)
     addr = server.server_address[:2]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
     # Warm the jit caches BEFORE opening the HTTP flood: encode compiles per
-    # (rows, T) bucket and the search per (Q, k) — a cold 32-client burst
-    # would stack every compile behind one dispatcher and time clients out.
+    # (rows, T) bucket and the search per (Q_bucket, k) — a cold 64-client
+    # burst would stack every compile behind one dispatcher and time clients
+    # out. Use the production warmups (what `serve` runs at startup).
     rng_w = random.Random(999)
-    max_clients = max(int(c) for c in args.clients.split(","))
-    for rows in sorted({1, 2, 4, 8, 16, 32, 64} & set(
-            range(1, 2 * max_clients + 1)) | {1, 2, 4}):
-        texts = [" ".join(rng_w.choices(WORDS, k=6)) + f" warm{rows}-{i}"
-                 for i in range(rows)]
-        service.search(texts[:1], k=args.k)
-        service.embed(texts, is_query=True)
-    run_level(addr, 2, 2, args.k, seed=999)  # HTTP plumbing + coalesced sizes
+    max_clients = max(clients)
+    print("warming encode + search buckets ...", file=sys.stderr)
+    engine.warmup()
+    warm_ks = [args.k] + ([args.rerank_first_k] if "rerank" in endpoints
+                          else [])
+    service.warm_search(max_queries=max_clients, ks=warm_ks)
+    run_level(addr, 2, 2, seed=999,
+              make_request=make_search(args.k))  # HTTP plumbing + coalescing
 
-    out = {"ndocs": len(index), "dim": engine.out_dim,
-           "quantize": args.quantize_index, "levels": []}
-    for c in (int(x) for x in args.clients.split(",")):
-        lat, wall = run_level(addr, c, args.queries_per_client, args.k, seed=c)
-        out["levels"].append({
-            "clients": c, "requests": int(lat.size),
-            "qps": round(lat.size / wall, 1),
-            "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
-            "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1),
-        })
-        print(json.dumps(out["levels"][-1]), file=sys.stderr)
+    out = {"ndocs": len(index), "dim": engine.out_dim, "index": args.index,
+           "quantize": args.quantize_index, "endpoints": {}}
+    if "search" in endpoints:
+        out["endpoints"]["search"] = measure_endpoint(
+            "search", addr, make_search(args.k), clients,
+            args.queries_per_client)
+    if "embeddings" in endpoints:
+        out["endpoints"]["embeddings"] = measure_endpoint(
+            "embeddings", addr, make_embeddings(engine.out_dim), clients,
+            args.queries_per_client)
+    if "rerank" in endpoints:
+        r_clients = ([int(x) for x in args.rerank_clients.split(",")]
+                     if args.rerank_clients else clients)
+        # warm the CE buckets with one coalesced pass before timing
+        service.rerank([" ".join(rng_w.choices(WORDS, k=6)) + " warmce"],
+                       k=args.k, first_k=args.rerank_first_k)
+        out["endpoints"]["rerank"] = measure_endpoint(
+            "rerank", addr,
+            make_rerank(args.k, args.rerank_first_k), r_clients,
+            max(4, args.queries_per_client // 4))
     st = service.stats()
     out["embed_dispatches"] = st["embed_dispatches"]
     out["embed_items"] = st["embed_items"]
