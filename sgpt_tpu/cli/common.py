@@ -58,7 +58,7 @@ def build_model(model_name: str, *, random_init: bool = False,
     `--randominit` mirrors the reference's `--reinit` debugging flag
     (beir_dense_retriever.py:124-126) and doubles as the zero-egress smoke path.
     """
-    from ..models import (gpt_neo, gpt_j_6b, bloom, bert, load_pretrained,
+    from ..models import (gpt_neo, gpt_j_6b, bloom, bert, t5, load_pretrained,
                           init_params, cast_params, guess_family)
     from ..tokenization import get_tokenizer
 
@@ -71,6 +71,11 @@ def build_model(model_name: str, *, random_init: bool = False,
             cfg = bert("large" if "large" in low else "base")
         elif "bloom" in low:
             cfg = bloom("1b7")
+        elif "t5" in low:
+            cfg = t5("large" if "large" in low
+                     else "small" if "small" in low else "base")
+            if "v1_1" in low or "v1.1" in low:
+                cfg = cfg.replace(mlp_activation="gated_gelu")
         elif "1.3b" in low:
             cfg = gpt_neo("1.3b")
         elif "2.7b" in low:
@@ -87,7 +92,7 @@ def build_model(model_name: str, *, random_init: bool = False,
     # Real weights demand the real tokenizer: fallback=False turns the old
     # silent hash-tokenizer fallback (which would corrupt a score-parity run
     # with plausible-but-wrong nDCG) into a hard TokenizerLoadError.
-    tokenizer = (get_tokenizer(None) if random_init
+    tokenizer = (get_tokenizer(None, vocab_size=cfg.vocab_size) if random_init
                  else get_tokenizer(model_name, fallback=False))
     if jax.default_backend() == "tpu":
         # fused short-T attention kernel everywhere on TPU (CE scoring and

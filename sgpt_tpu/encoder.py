@@ -128,6 +128,7 @@ class EmbeddingEngine:
         sp_mesh=None,
         fused_attention: Optional[bool] = None,
         quantize: Optional[str] = None,
+        text_prefix: str = "",
     ):
         """mesh: data-parallel encode (batch shards over dp). sp_mesh:
         SEQUENCE-parallel encode — ring attention over the mesh axis for docs
@@ -209,6 +210,10 @@ class EmbeddingEngine:
             self.out_dim = cfg.hidden_size
         max_seq_len = max_seq_len or cfg.max_position_embeddings
         self.codec = SpecbCodec(tokenizer, max_seq_len=max_seq_len, specb=specb)
+        # text_prefix: prepended to every text before tokenization — the ST
+        # fork's models.T5 `task_identifier` semantics ("stsb sentence1: ",
+        # sentence_transformers/models/T5.py:19,51); empty for other models.
+        self.text_prefix = text_prefix
 
         # Multi-device data-parallel encode: batches shard over the mesh's dp
         # axis (replaces the reference's rank-sliced distributed encode +
@@ -304,6 +309,9 @@ class EmbeddingEngine:
         cached = self._cache_load(texts, is_query)
         if cached is not None:
             return cached
+
+        if self.text_prefix:
+            texts = [self.text_prefix + t for t in texts]
 
         # Tokenize once, then token-budget batching: rows per dispatch scale
         # inversely with the length bucket so every dispatch feeds the MXU
@@ -415,6 +423,7 @@ class EmbeddingEngine:
         h = hashlib.sha1()
         h.update(f"{self.method}|{self.layeridx}|{self.codec.specb}|{is_query}|"
                  f"{self.normalize}|{self.codec.max_seq_len}|"
+                 f"{self.text_prefix}|"
                  f"{self._params_fingerprint()}|{len(texts)}".encode())
         for t in texts:  # full-text coverage — templated corpora sharing long
             h.update(str(len(t)).encode())  # prefixes must not collide

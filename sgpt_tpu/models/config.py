@@ -58,6 +58,20 @@ class DecoderConfig:
     post_layernorm: bool = False             # LN AFTER residual add (BERT)
     token_type_vocab: int = 0                # >0: add token-type embeddings
     gelu_exact: bool = False                 # erf GELU (BERT) vs tanh approx
+
+    # T5-family switches (the ST fork ships models.T5 — an encoder-only T5
+    # token embedder, sentence_transformers/models/T5.py — and CLIP; both are
+    # expressed as structural switches on this one transformer rather than
+    # as separate model classes):
+    norm_style: str = "layer"                # "rms": no mean-subtract, no bias
+    relative_attention: bool = False         # T5 bucketed relative pos bias
+    relative_attention_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    # MLP activation: None = GELU (tanh approx unless gelu_exact), "relu"
+    # (T5 v1.0), "gated_gelu" (T5 v1.1: gelu(wi(x)) * wg(x)), "quick_gelu"
+    # (CLIP: x * sigmoid(1.702 x)).
+    mlp_activation: Optional[str] = None
+    mlp_bias: bool = True                    # T5: no biases anywhere
     dtype: jnp.dtype = jnp.float32           # activation/compute dtype
     # Matmul precision for fp32 inputs. XLA's "default" runs fp32 matmuls in
     # reduced (bf16-class) precision on TPU, which breaks checkpoint parity;
@@ -175,6 +189,42 @@ def bert(size: str = "base", **kw) -> DecoderConfig:
     )
 
 
+def t5(size: str = "base", **kw) -> DecoderConfig:
+    """T5 ENCODER presets (t5-small/base/large geometry, v1.0 ReLU MLP).
+
+    Backs the ST fork's models.T5 token embedder
+    (sentence_transformers/models/T5.py:36-46: `t5model.encoder(...)` only —
+    the decoder half is never used for sentence embeddings). Structure:
+    RMSNorm (pre-LN, eps 1e-6), bucketed relative position bias shared
+    across layers, UNSCALED attention scores (the 1/sqrt(d) is folded into
+    T5's init), no biases anywhere, no absolute position embeddings.
+    For v1.1 (`google/t5-v1_1-*`) pass mlp_activation='gated_gelu'."""
+    dims = {
+        "small": dict(hidden_size=512, num_layers=6, num_heads=8,
+                      intermediate_size=2048, head_dim=64),
+        "base": dict(hidden_size=768, num_layers=12, num_heads=12,
+                     intermediate_size=3072, head_dim=64),
+        "large": dict(hidden_size=1024, num_layers=24, num_heads=16,
+                      intermediate_size=4096, head_dim=64),
+    }[size]
+    return DecoderConfig(
+        vocab_size=32128,
+        max_position_embeddings=512,
+        position_embedding="none",
+        scale_attn=False,
+        qkv_bias=False,
+        out_bias=False,
+        layer_norm_eps=1e-6,
+        bidirectional=True,
+        norm_style="rms",
+        relative_attention=True,
+        mlp_activation="relu",
+        mlp_bias=False,
+        **dims,
+        **kw,
+    )
+
+
 def tiny(family: str = "neo", vocab_size: int = 257, **kw) -> DecoderConfig:
     """Small configs for tests; same structural flags as the full families."""
     base = dict(vocab_size=vocab_size, hidden_size=64, num_layers=4, num_heads=4,
@@ -195,4 +245,13 @@ def tiny(family: str = "neo", vocab_size: int = 257, **kw) -> DecoderConfig:
                              bidirectional=True, post_layernorm=True,
                              embedding_layernorm=True, token_type_vocab=2,
                              gelu_exact=True, **base)
+    if family == "t5":
+        return DecoderConfig(position_embedding="none", scale_attn=False,
+                             out_bias=False, layer_norm_eps=1e-6,
+                             bidirectional=True, norm_style="rms",
+                             relative_attention=True,
+                             relative_attention_buckets=8,
+                             relative_attention_max_distance=16,
+                             mlp_activation="relu", mlp_bias=False,
+                             head_dim=16, **base)
     raise ValueError(f"unknown family {family!r}")

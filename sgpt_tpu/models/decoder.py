@@ -43,6 +43,20 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> j
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """T5 RMSNorm: no mean subtraction, no bias; fp32 statistics."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _norm(x: jax.Array, p: dict, cfg: DecoderConfig) -> jax.Array:
+    if cfg.norm_style == "rms":
+        return rms_norm(x, p["scale"], cfg.layer_norm_eps)
+    return layer_norm(x, p["scale"], p["bias"], cfg.layer_norm_eps)
+
+
 def gelu_tanh(x: jax.Array) -> jax.Array:
     """The tanh-approx GELU all three families use (HF `gelu_new` / BloomGelu)."""
     return jax.nn.gelu(x, approximate=True)
@@ -75,6 +89,39 @@ def apply_rotary(x: jax.Array, sin: jax.Array, cos: jax.Array, rotary_dim: int) 
     cos = cos[:, :, None, :].astype(rot.dtype)
     rot = rot * cos + _rotate_every_two(rot) * sin
     return jnp.concatenate([rot, rest], axis=-1)
+
+
+def t5_relative_bias(rel_table: jax.Array, T: int, num_buckets: int,
+                     max_distance: int, bidirectional: bool) -> jax.Array:
+    """(1, H, T, T) fp32 additive bias from the (num_buckets, H) table.
+
+    HF `T5Attention._relative_position_bucket` semantics: half the buckets
+    (bidirectional) split by sign of (key - query); within each half, the
+    first max_exact distances get their own bucket and larger ones bucket
+    logarithmically up to max_distance. All T5 layers share layer 0's bias.
+    """
+    ctx = jnp.arange(T)
+    rel = ctx[None, :] - ctx[:, None]                     # key - query (T, T)
+    nb = num_buckets
+    bucket = jnp.zeros((T, T), jnp.int32)
+    if bidirectional:
+        nb = nb // 2
+        bucket = bucket + (rel > 0).astype(jnp.int32) * nb
+        rel_abs = jnp.abs(rel)
+    else:
+        rel_abs = jnp.clip(-rel, 0, None)
+    max_exact = nb // 2
+    is_small = rel_abs < max_exact
+    # max(.,1) guards log(0) in the branch where() discards (rel_abs <
+    # max_exact rows take the exact bucket)
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel_abs, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, nb - 1)
+    bucket = bucket + jnp.where(is_small, rel_abs, large)
+    bias = jnp.take(rel_table.astype(jnp.float32), bucket, axis=0)  # (T,T,H)
+    return bias.transpose(2, 0, 1)[None]                  # (1, H, T, T)
 
 
 def alibi_slopes(num_heads: int) -> jax.Array:
@@ -239,10 +286,18 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
     return _project(out, p["wo"], p.get("bo"))
 
 
-def mlp(x: jax.Array, p: dict, exact_gelu: bool = False) -> jax.Array:
+def mlp(x: jax.Array, p: dict, cfg: DecoderConfig) -> jax.Array:
     h = _project(x, p["wi"], p.get("bi"))
-    # BERT uses the exact erf GELU; the GPT families use the tanh approx
-    h = jax.nn.gelu(h, approximate=not exact_gelu)
+    act = cfg.mlp_activation
+    if act == "relu":                 # T5 v1.0
+        h = jax.nn.relu(h)
+    elif act == "gated_gelu":         # T5 v1.1: gelu(wi(x)) * wg(x)
+        h = jax.nn.gelu(h, approximate=True) * _project(x, p["wg"], None)
+    elif act == "quick_gelu":         # CLIP: x * sigmoid(1.702 x)
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        # BERT uses the exact erf GELU; the GPT families use the tanh approx
+        h = jax.nn.gelu(h, approximate=not cfg.gelu_exact)
     return _project(h, p["wo"], p.get("bo"))
 
 
@@ -282,6 +337,7 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
             sp_mesh=None, sp_axis: str = "dp",
             tp_mesh=None, tp_axis: str = "tp",
             token_type_ids: Optional[jax.Array] = None,
+            inputs_embeds: Optional[jax.Array] = None,
             cond: Optional[jax.Array] = None, cond_params: Optional[dict] = None):
     """Run the decoder.
 
@@ -319,6 +375,7 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                              sp_mesh=sp_mesh, sp_axis=sp_axis,
                              tp_mesh=tp_mesh, tp_axis=tp_axis,
                              token_type_ids=token_type_ids,
+                             inputs_embeds=inputs_embeds,
                              cond=cond, cond_params=cond_params)
 
 
@@ -352,11 +409,17 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
                   output_hidden_states, position_ids, segment_ids=None,
                   sp_mesh=None,
                   sp_axis="dp", tp_mesh=None, tp_axis="tp",
-                  token_type_ids=None, cond=None, cond_params=None):
-    B, T = input_ids.shape
+                  token_type_ids=None, inputs_embeds=None,
+                  cond=None, cond_params=None):
     dtype = cfg.dtype
-
-    x = jnp.take(params["wte"], input_ids, axis=0).astype(dtype)
+    if inputs_embeds is not None:
+        # pre-computed input embeddings (e.g. ViT patch embeddings for the
+        # CLIP vision tower — models/clip.py); input_ids is ignored
+        B, T = inputs_embeds.shape[:2]
+        x = inputs_embeds.astype(dtype)
+    else:
+        B, T = input_ids.shape
+        x = jnp.take(params["wte"], input_ids, axis=0).astype(dtype)
     if position_ids is None:
         positions = jnp.arange(T)
     else:
@@ -392,8 +455,12 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     # flash/fused Pallas kernels implement the causal mask; encoder
     # (bidirectional) models and PACKED rows (block-diagonal segment masks)
     # take the XLA path
+    if cfg.relative_attention and use_sp:
+        raise NotImplementedError(
+            "relative position bias (T5) is unsupported under sp_mesh")
     use_flash = (cfg.use_flash and T % 128 == 0 and not use_sp
-                 and not cfg.bidirectional and not packed)
+                 and not cfg.bidirectional and not packed
+                 and not cfg.relative_attention)
     # fused short-T kernel: VMEM-resident scores. Lower cap because below
     # T~160 the (T, T) score traffic XLA pays is small enough that the
     # kernel's per-layer invocation overhead loses (measured A/B at T=75
@@ -411,7 +478,8 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         if tp_size == 1 or cfg.num_heads % tp_size:
             tp_mesh, tp_size = None, 1  # head slices must align; fall back
     if (cfg.fused_attention and not use_sp and not use_flash
-            and not cfg.bidirectional and not packed and 160 <= T <= 512):
+            and not cfg.bidirectional and not packed
+            and not cfg.relative_attention and 160 <= T <= 512):
         from ..ops.pallas.short_attention import fwd_fits_vmem
         # under TP the kernel runs per head-shard (shard_map), so the VMEM
         # residency is a function of the SHARD width HD/tp — GPT-J at tp=2
@@ -439,6 +507,14 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
                                              any_local,
                                              causal=not cfg.bidirectional,
                                              segment_ids=segment_ids)
+    if cfg.relative_attention:
+        # shared-by-all-layers bias folds straight into the mask bias.
+        # Correct under packing too: the bias depends only on (key - query)
+        # distance, which is frame-independent within a segment, and
+        # cross-segment pairs are already masked to NEG_INF.
+        bias_global = bias_global + t5_relative_bias(
+            params["rel_bias"], T, cfg.relative_attention_buckets,
+            cfg.relative_attention_max_distance, cfg.bidirectional)
     is_local = jnp.asarray(cfg.local_flags())
 
     layers = params["layers"]
@@ -453,13 +529,11 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
             # BERT block: attention on the RAW residual stream, LayerNorm
             # AFTER each residual add (HF BertLayer ordering)
             attn_out = attention(x, p["attn"], cfg, bias_global, rope, alibi)
-            x = layer_norm(x + attn_out, p["ln1"]["scale"], p["ln1"]["bias"],
-                           cfg.layer_norm_eps)
-            mlp_out = mlp(x, p["mlp"], cfg.gelu_exact)
-            x = layer_norm(x + mlp_out, p["ln2"]["scale"], p["ln2"]["bias"],
-                           cfg.layer_norm_eps)
+            x = _norm(x + attn_out, p["ln1"], cfg)
+            mlp_out = mlp(x, p["mlp"], cfg)
+            x = _norm(x + mlp_out, p["ln2"], cfg)
             return x, (x if output_hidden_states else None)
-        h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
+        h1 = _norm(x, p["ln1"], cfg)
         if use_sp:
             attn_out = ring_attention_layer(h1, p["attn"], cfg, attention_mask,
                                             local_flag, rope, slopes,
@@ -485,12 +559,12 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
                 cp["b"].astype(x.dtype)
             attn_out = attn_out + proj[:, None, :]
         if cfg.parallel_residual:
-            mlp_out = mlp(h1, p["mlp"])
+            mlp_out = mlp(h1, p["mlp"], cfg)
             x = x + attn_out + mlp_out
         else:
             x = x + attn_out
-            h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layer_norm_eps)
-            x = x + mlp(h2, p["mlp"])
+            h2 = _norm(x, p["ln2"], cfg)
+            x = x + mlp(h2, p["mlp"], cfg)
         return x, (x if output_hidden_states else None)
 
     x0 = x
@@ -499,8 +573,7 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
     if cfg.post_layernorm:
         final = x  # BERT: each block ends on its own LayerNorm; no ln_f
     else:
-        final = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"],
-                           cfg.layer_norm_eps)
+        final = _norm(x, params["ln_f"], cfg)
 
     if output_hidden_states:
         # HF semantics: [embeddings, block_1..block_{N-1} outputs, ln_f(block_N)]

@@ -170,6 +170,50 @@ def convert_hf_state_dict(state_dict: Mapping, cfg: DecoderConfig, family: str,
                         "bias": _stack([sd[lp.format(i=i) + "output.LayerNorm.bias"] for i in range(L)])},
             },
         }
+    elif family == "t5":
+        # HF T5EncoderModel: shared.weight embedding; encoder.block.i.layer.0
+        # = SelfAttention (+ relative_attention_bias on block 0 only, shared
+        # by every layer) with pre-RMSNorm `layer_norm`; layer.1 =
+        # DenseReluDense (wi or wi_0/wi_1 gated) with its own layer_norm;
+        # encoder.final_layer_norm. No biases anywhere (mlp_bias=False).
+        bp = "encoder.block.{i}."
+        wte_key = ("shared.weight" if "shared.weight" in sd
+                   else "encoder.embed_tokens.weight")
+        gated = any("wi_0" in k for k in sd)
+        mlp_map = {
+            "wi": _stack([t(bp.format(i=i) + "layer.1.DenseReluDense."
+                            + ("wi_0" if gated else "wi") + ".weight")
+                          for i in range(L)]),
+            "wo": _stack([t(bp.format(i=i) + "layer.1.DenseReluDense.wo.weight")
+                          for i in range(L)]),
+        }
+        if gated:
+            mlp_map["wg"] = _stack(
+                [t(bp.format(i=i) + "layer.1.DenseReluDense.wi_1.weight")
+                 for i in range(L)])
+        params = {
+            "wte": jnp.asarray(sd[wte_key], dtype),
+            "rel_bias": jnp.asarray(
+                sd["encoder.block.0.layer.0.SelfAttention."
+                   "relative_attention_bias.weight"], dtype),
+            "layers": {
+                "ln1": {"scale": _stack(
+                    [sd[bp.format(i=i) + "layer.0.layer_norm.weight"]
+                     for i in range(L)])},
+                "attn": {
+                    "wq": _stack([t(bp.format(i=i) + "layer.0.SelfAttention.q.weight") for i in range(L)]),
+                    "wk": _stack([t(bp.format(i=i) + "layer.0.SelfAttention.k.weight") for i in range(L)]),
+                    "wv": _stack([t(bp.format(i=i) + "layer.0.SelfAttention.v.weight") for i in range(L)]),
+                    "wo": _stack([t(bp.format(i=i) + "layer.0.SelfAttention.o.weight") for i in range(L)]),
+                },
+                "ln2": {"scale": _stack(
+                    [sd[bp.format(i=i) + "layer.1.layer_norm.weight"]
+                     for i in range(L)])},
+                "mlp": mlp_map,
+            },
+            "ln_f": {"scale": jnp.asarray(sd["encoder.final_layer_norm.weight"],
+                                          dtype)},
+        }
     else:
         raise ValueError(f"unknown family {family!r}")
 
@@ -213,6 +257,21 @@ def config_from_hf(hf_config, family: str) -> DecoderConfig:
                  position_embedding="alibi", embedding_layernorm=True,
                  scale_attn=True, qkv_bias=True, out_bias=True,
                  layer_norm_eps=hf_config.layer_norm_epsilon)
+    if family == "t5":
+        act = getattr(hf_config, "feed_forward_proj", "relu")
+        return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.d_model,
+                 num_layers=hf_config.num_layers,
+                 num_heads=hf_config.num_heads, head_dim=hf_config.d_kv,
+                 intermediate_size=hf_config.d_ff,
+                 position_embedding="none", scale_attn=False,
+                 qkv_bias=False, out_bias=False,
+                 layer_norm_eps=hf_config.layer_norm_epsilon,
+                 bidirectional=True, norm_style="rms", relative_attention=True,
+                 relative_attention_buckets=hf_config.relative_attention_num_buckets,
+                 relative_attention_max_distance=getattr(
+                     hf_config, "relative_attention_max_distance", 128),
+                 mlp_activation=("gated_gelu" if "gated" in act else "relu"),
+                 mlp_bias=False)
     if family == "bert":
         return C(vocab_size=hf_config.vocab_size, hidden_size=hf_config.hidden_size,
                  num_layers=hf_config.num_hidden_layers,
@@ -231,6 +290,7 @@ FAMILY_PATTERNS = (
     ("bloom", ("bloom",)),
     ("gptj", ("gpt-j", "gptj", "6.1b", "5.8b")),
     ("neo", ("gpt-neo", "gptneo", "125m", "1.3b", "2.7b")),
+    ("t5", ("t5",)),
     # last: "bert" also matches roberta/distilbert names, which are NOT
     # this architecture — prefer AutoConfig.model_type when weights exist
     ("bert", ("bert",)),
@@ -257,11 +317,16 @@ def load_pretrained(name_or_path: str, family: str | None = None, dtype=jnp.floa
     hf_cfg = AutoConfig.from_pretrained(name_or_path)
     # the config's model_type is authoritative when available (name-pattern
     # guessing would mistake e.g. roberta for bert)
-    if family is None and getattr(hf_cfg, "model_type", None) == "bert":
-        family = "bert"
+    if family is None and getattr(hf_cfg, "model_type", None) in ("bert", "t5"):
+        family = hf_cfg.model_type
     family = family or guess_family(name_or_path)
     if family == "bert":
         model = AutoModel.from_pretrained(name_or_path)  # no causal-LM head
+    elif family == "t5":
+        # the ST fork's models.T5 drives only the ENCODER half
+        # (sentence_transformers/models/T5.py:36: `t5model.encoder(...)`)
+        from transformers import T5EncoderModel
+        model = T5EncoderModel.from_pretrained(name_or_path)
     else:
         model = AutoModelForCausalLM.from_pretrained(name_or_path)
     cfg = config_from_hf(hf_cfg, family)

@@ -24,26 +24,40 @@ def param_shapes(cfg: DecoderConfig) -> dict:
         attn.update({"bq": (L, P), "bk": (L, P), "bv": (L, P)})
     if cfg.out_bias:
         attn["bo"] = (L, D)
+
+    def ln(*shape):  # RMSNorm (T5) carries a scale only
+        return ({"scale": shape} if cfg.norm_style == "rms"
+                else {"scale": shape, "bias": shape})
+
+    mlp = {"wi": (L, D, F), "wo": (L, F, D)}
+    if cfg.mlp_activation == "gated_gelu":
+        mlp["wg"] = (L, D, F)  # T5 v1.1: gelu(wi(x)) * wg(x)
+    if cfg.mlp_bias:
+        mlp.update({"bi": (L, F), "bo": (L, D)})
     layers = {
-        "ln1": {"scale": (L, D), "bias": (L, D)},
+        "ln1": ln(L, D),
         "attn": attn,
-        "mlp": {"wi": (L, D, F), "bi": (L, F), "wo": (L, F, D), "bo": (L, D)},
+        "mlp": mlp,
     }
     if not cfg.parallel_residual:
-        layers["ln2"] = {"scale": (L, D), "bias": (L, D)}
+        layers["ln2"] = ln(L, D)
     tree = {
         "wte": (cfg.vocab_size, D),
         "layers": layers,
     }
     if not cfg.post_layernorm:
         # BERT-style post-LN blocks end on their own LayerNorm; no final ln_f
-        tree["ln_f"] = {"scale": (D,), "bias": (D,)}
+        tree["ln_f"] = ln(D)
     if cfg.position_embedding == "learned":
         tree["wpe"] = (cfg.max_position_embeddings, D)
     if cfg.embedding_layernorm:
         tree["emb_ln"] = {"scale": (D,), "bias": (D,)}
     if cfg.token_type_vocab:
         tree["wtt"] = (cfg.token_type_vocab, D)
+    if cfg.relative_attention:
+        # T5: ONE bias table, computed in layer 0 and shared by every layer
+        # (HF passes layer 0's position_bias down the stack)
+        tree["rel_bias"] = (cfg.relative_attention_buckets, cfg.num_heads)
     return tree
 
 

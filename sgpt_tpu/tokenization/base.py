@@ -117,13 +117,18 @@ class HFTokenizer:
 
 
 def get_tokenizer(name_or_path: Optional[str] = None, *,
-                  fallback: bool = True) -> Tokenizer:
+                  fallback: bool = True,
+                  vocab_size: Optional[int] = None) -> Tokenizer:
     """HF tokenizer if loadable from a local path/cache, else SimpleTokenizer.
 
     fallback=False raises TokenizerLoadError instead of falling back - REQUIRED
     whenever real model weights were loaded (a hash tokenizer would silently
     mis-encode everything; see build_model). Loaded GPT-2-family tokenizers are
     preflighted against the reference's hardcoded bracket ids either way.
+
+    vocab_size bounds the hash-fallback tokenizer to the MODEL's vocab — the
+    50257 default overruns smaller embedding tables (T5: 32128), and the
+    out-of-range gather is silent garbage/NaN, not an error.
     """
     if name_or_path:
         try:
@@ -140,7 +145,7 @@ def get_tokenizer(name_or_path: Optional[str] = None, *,
                 "FALLING BACK to the hash-bucket SimpleTokenizer: HF tokenizer "
                 "%r failed to load (%r). Embeddings/scores from this run are "
                 "NOT comparable to published numbers.", name_or_path, e)
-            return SimpleTokenizer()
+            return SimpleTokenizer(vocab_size or 50257)
         check_specb_brackets(tok, name_or_path)
         return tok
-    return SimpleTokenizer()
+    return SimpleTokenizer(vocab_size or 50257)
