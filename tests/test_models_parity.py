@@ -165,3 +165,117 @@ def test_bert_end_to_end_engine_and_trainer():
     out = t.fit(lambda: iter([batch, batch]), steps_per_epoch=2)
     losses = [h["loss"] for h in out["history"] if "loss" in h]
     assert len(losses) == 2 and all(np.isfinite(losses))
+
+
+def test_t5_encoder_parity():
+    """T5 ENCODER backbone (RMSNorm, bucketed relative position bias,
+    unscaled scores, no biases) vs HF T5EncoderModel — backs the ST fork's
+    models.T5 token embedder (sentence_transformers/models/T5.py:36-46)."""
+    from transformers import T5Config, T5EncoderModel
+    hf_cfg = T5Config(
+        vocab_size=257, d_model=64, num_layers=3, num_heads=4, d_kv=16,
+        d_ff=256, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+    )
+    torch.manual_seed(0)
+    model = T5EncoderModel(hf_cfg)
+    cfg = config_from_hf(hf_cfg, "t5")
+    assert cfg.norm_style == "rms" and cfg.relative_attention
+    assert not cfg.scale_attn and cfg.mlp_activation == "relu"
+    _check_parity(model, cfg, "t5")
+
+
+def test_t5_gated_gelu_parity():
+    """T5 v1.1 variant: gated-GELU MLP (wi_0/wi_1)."""
+    from transformers import T5Config, T5EncoderModel
+    hf_cfg = T5Config(
+        vocab_size=257, d_model=64, num_layers=2, num_heads=4, d_kv=16,
+        d_ff=256, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu",
+    )
+    torch.manual_seed(1)
+    model = T5EncoderModel(hf_cfg)
+    cfg = config_from_hf(hf_cfg, "t5")
+    assert cfg.mlp_activation == "gated_gelu"
+    _check_parity(model, cfg, "t5")
+
+
+def test_clip_parity():
+    """CLIP dual-tower vs HF CLIPModel: text (causal, quick-GELU, EOT pool,
+    projection) and vision (patchify-as-matmul == strided Conv2d, class
+    token, pre/post LN, projection). Backs the ST fork's models.CLIPModel
+    (sentence_transformers/models/CLIPModel.py:20-46)."""
+    from transformers import (CLIPConfig as HFCLIPConfig, CLIPModel,
+                              CLIPTextConfig, CLIPVisionConfig)
+
+    from sgpt_tpu.models.clip import (clip_config_from_hf, convert_hf_clip,
+                                      encode_image, encode_text)
+
+    hf_cfg = HFCLIPConfig(
+        text_config_dict=None,
+        projection_dim=24,
+        text_config=CLIPTextConfig(
+            vocab_size=99, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            max_position_embeddings=16, projection_dim=24,
+            # EOT must be the top vocab id (real CLIP: 49407) — HF pools at
+            # the eos position it searches for, we pool at argmax(ids)
+            eos_token_id=98, attention_dropout=0.0).to_dict(),
+        vision_config=CLIPVisionConfig(
+            hidden_size=48, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=192, image_size=12, patch_size=4,
+            projection_dim=24, attention_dropout=0.0).to_dict(),
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(hf_cfg)
+    model.eval()
+    cfg = clip_config_from_hf(hf_cfg)
+    params = convert_hf_clip(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    B, T = 3, 11
+    # EOT (highest vocab id) appended like CLIP's tokenizer does
+    ids = rng.integers(1, 98, size=(B, T)).astype(np.int32)
+    lens = [11, 8, 5]
+    mask = np.zeros((B, T), np.int32)
+    for i, n in enumerate(lens):
+        ids[i, n - 1] = 98
+        ids[i, n:] = 0
+        mask[i, :n] = 1
+    pixels = rng.standard_normal((B, 3, 12, 12)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_t = model.get_text_features(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64))).numpy()
+        ref_v = model.get_image_features(
+            pixel_values=torch.tensor(pixels)).numpy()
+
+    ours_t = np.asarray(encode_text(params, jnp.asarray(ids),
+                                    jnp.asarray(mask), cfg))
+    ours_v = np.asarray(encode_image(params, jnp.asarray(pixels), cfg))
+    assert np.abs(ours_t - ref_t).max() < 2e-4, np.abs(ours_t - ref_t).max()
+    assert np.abs(ours_v - ref_v).max() < 2e-4, np.abs(ours_v - ref_v).max()
+
+
+def test_clip_encoder_mixed_batch():
+    """ST CLIPModel runtime: mixed text/image list embeds in input order."""
+    from sgpt_tpu.models.clip import CLIPEncoder, clip_tiny, init_clip_params
+    from sgpt_tpu.tokenization import SimpleTokenizer
+
+    import jax
+
+    cfg = clip_tiny()
+    params = init_clip_params(cfg, jax.random.key(0))
+    enc = CLIPEncoder(params, cfg, SimpleTokenizer(vocab_size=99),
+                      normalize_embeddings=True)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (20, 30, 3)).astype(np.uint8)
+    items = ["a cat photo", img, "a dog", img]
+    out = enc.encode(items)
+    assert out.shape == (4, cfg.projection_dim)
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    # same image at positions 1 and 3 → identical embeddings; texts differ
+    assert np.allclose(out[1], out[3])
+    assert not np.allclose(out[0], out[2])
