@@ -36,6 +36,16 @@ TPU-first design — everything static-shaped and matmul-dominated:
 `add` after `build()` stages into a pending slab scanned exactly until the
 next build() re-clusters — the same serve-while-growing contract as
 DenseIndex, so `SearchService` (serving.py) takes either index unchanged.
+
+Choosing K (n_clusters) — measured lesson (docs/PERF.md, 10M-doc bench):
+pure N/K sizing heuristics (e.g. K ≈ N/600) can badly overshoot a corpus
+whose natural topic count is smaller — k-means then splits real clusters
+into fragments below the balance threshold, a large fraction of the corpus
+spills to overflow (38% at K=16384 over a 4096-topic 10M corpus), and the
+"probe" degenerates into a half-corpus exact scan (flat latency/recall
+across nprobe is the tell-tale). Prefer K near the corpus's topic
+granularity, or sweep K on a sample and pick the knee of overflow fraction
+(`build()` logs it) vs probe latency.
 """
 from __future__ import annotations
 

@@ -27,7 +27,16 @@ Methodology notes (all in the direction of GENEROSITY to the reference):
     would multi-thread it, so its measured time is ALSO reported divided by
     8 as a strong-host bound.
 
+Per-scale mode (VERDICT r3 #3 — the multiple where the advantages compound):
+`--model 1.3b|2.7b|gptj|bloom7b1` runs the same A/B at production scales.
+At gptj/bloom7b1 the reference pattern does not even RUN on one A100-40GB
+(sgptce.py:54-60 shards layers over GPUs + disk offload; the hidden-state
+stack leaves whichever device holds each layer) — here both patterns fit one
+chip, and `--quantize int8` additionally reports the int8 ours row (weights
+halved, ~1.5x matmul rate at D=4096; docs/PERF.md "GPT-J-6B" section).
+
     python tools/bench_reference_pattern.py [--docs 1024] [--batch 256]
+        [--model 125m] [--quantize int8]
 """
 import argparse
 import json
@@ -42,13 +51,24 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 PCIE_GBPS = 25.0  # A100-class effective PCIe gen4 device->host rate
 
 
+DEFAULT_BATCH = {"125m": 256, "1.3b": 64, "2.7b": 32, "gptj": 16,
+                 "bloom7b1": 16}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--docs", type=int, default=0,
+                    help="0 = 4 batches at the model's default batch size")
+    ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--maxseq", type=int, default=300)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--model", default="125m",
+                    choices=sorted(DEFAULT_BATCH))
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="additionally report the int8 ours row")
     args = ap.parse_args()
+    args.batch = args.batch or DEFAULT_BATCH[args.model]
+    args.docs = args.docs or 4 * args.batch
 
     import jax
 
@@ -57,17 +77,21 @@ def main():
     _guard.require_tpu(jax)
     import jax.numpy as jnp
 
-    from sgpt_tpu.models import gpt_neo, init_params, cast_params
+    from sgpt_tpu.models import gpt_neo, gpt_j_6b, bloom, init_params, \
+        cast_params
     from sgpt_tpu.models.decoder import forward
     from sgpt_tpu.ops.pooling import weighted_mean_pool, normalize
     from sgpt_tpu.tokenization import SimpleTokenizer
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = gpt_neo("125m").replace(dtype=jnp.bfloat16,
-                                  matmul_precision="default",
-                                  fused_attention=on_tpu)
+    base = (gpt_j_6b() if args.model == "gptj"
+            else bloom("7b1") if args.model == "bloom7b1"
+            else gpt_neo(args.model))
+    cfg = base.replace(dtype=jnp.bfloat16, matmul_precision="default",
+                       fused_attention=on_tpu)
     params = cast_params(init_params(cfg, jax.random.key(0)), jnp.bfloat16)
-    tok = SimpleTokenizer()
+    jax.block_until_ready(params)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
 
     # BEIR-like ragged lengths, length-sorted fixed-row batches padded to the
     # batch longest (exactly the reference's batching for BOTH patterns)
@@ -123,36 +147,60 @@ def main():
     # D2H byte volume of the reference pattern (full stack + mask per batch)
     bytes_d2h = sum((cfg.num_layers + 1) * i.shape[0] * i.shape[1]
                     * cfg.hidden_size * 2 for i, _ in batches)
-    # measure ONE batch's stack fetch for the record (relay rate)
+    # measure ONE layer's fetch for the relay-rate record (a full 6B stack is
+    # multiple GB — at this relay's ~10 MB/s that fetch alone would take
+    # minutes, and the rate is what's being recorded, not the volume)
     ids, mask = batches[0]
     stack = forward(params, ids, mask, cfg, output_hidden_states=True)
     t0 = time.perf_counter()
-    stack_h = np.asarray(stack)
+    last_h = np.asarray(stack[-1])
     t_one = time.perf_counter() - t0
-    b_one = stack_h.nbytes
+    b_one = last_h.nbytes
+    del stack
     t_d2h_pcie = bytes_d2h / (PCIE_GBPS * 1e9)
 
-    # host pooling on the fetched stack (numpy, single core)
+    # host pooling on the fetched last layer (numpy, single core) — the
+    # reference pools exactly one layer of the stack it fetched. Best-of-3:
+    # a single rep on a shared host can be inflated several-fold by
+    # unrelated load, which would flatter OUR ratio.
     mask_h = np.asarray(mask, np.float32)
-    t0 = time.perf_counter()
-    h = stack_h[-1].astype(np.float32)
-    w = np.arange(1, h.shape[1] + 1, dtype=np.float32)[None, :, None]
-    me = mask_h[:, :, None]
-    emb = (h * me * w).sum(1) / (me * w).sum(1)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    t_pool = (time.perf_counter() - t0) * len(batches)
+    t_pool = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = last_h.astype(np.float32)
+        w = np.arange(1, h.shape[1] + 1, dtype=np.float32)[None, :, None]
+        me = mask_h[:, :, None]
+        emb = (h * me * w).sum(1) / (me * w).sum(1)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        t_pool = min(t_pool, (time.perf_counter() - t0) * len(batches))
 
     t_ref_pcie = t_ref_dev + t_d2h_pcie + t_pool
     t_ref_pcie_strong = t_ref_dev + t_d2h_pcie + t_pool / 8  # multicore host
 
+    # optional: the int8 serving row for ours (quantize the SAME tree in
+    # place, bf16 kernels freed as int8 copies land — the one-chip recipe)
+    t_ours_int8 = None
+    if args.quantize == "int8":
+        from sgpt_tpu.ops.quant import quantize_decoder_params
+
+        params = quantize_decoder_params(params, free_source=True)
+        jax.block_until_ready(params)
+        t_ours_int8 = timed(with_stack=False)
+
     print(f"device work   ours: {t_ours_dev:6.3f}s   "
-          f"ref-pattern: {t_ref_dev:6.3f}s   (docs={args.docs})")
+          f"ref-pattern: {t_ref_dev:6.3f}s   (docs={args.docs}, "
+          f"model={args.model})")
     print(f"ref D2H: {bytes_d2h / 1e9:.2f} GB  -> {t_d2h_pcie:.3f}s @ "
           f"{PCIE_GBPS:.0f} GB/s PCIe  (this relay measured "
           f"{b_one / t_one / 1e6:.0f} MB/s - not charged)")
     print(f"ref host pooling: {t_pool:.3f}s 1-core ({t_pool / 8:.3f}s /8)")
     print(json.dumps({
+        "model": args.model,
         "ours_emb_s": round(args.docs / t_ours_dev, 1),
+        **({"ours_int8_emb_s": round(args.docs / t_ours_int8, 1),
+            "ratio_int8_vs_pcie_strong_host":
+                round(t_ref_pcie_strong / t_ours_int8, 2)}
+           if t_ours_int8 else {}),
         "ref_pattern_emb_s_pcie": round(args.docs / t_ref_pcie, 1),
         "ref_pattern_emb_s_pcie_strong_host": round(
             args.docs / t_ref_pcie_strong, 1),
