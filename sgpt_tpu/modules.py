@@ -18,9 +18,9 @@ functions over explicit param pytrees (no module state). The LSTM backward
 direction replicates torch's pack_padded_sequence semantics — it starts at
 each row's LAST VALID token, not at the padding — via a per-row index flip.
 
-CLIP and T5 remain out of scope (PARITY.md): both wrap external pretrained
-towers (vision encoder / relative-position enc-dec) that no SGPT result or
-driver touches.
+CLIP lives in models/clip.py (text + ViT towers, HF-parity tested) and T5
+is structural switches on the unified forward in models/decoder.py — both
+shipped round 4; PARITY.md carries the per-module test citations.
 """
 from __future__ import annotations
 

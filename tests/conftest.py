@@ -85,11 +85,29 @@ SLOW = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
+    collected_files = set()
     for item in items:
         fname = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        collected_files.add(fname)
         test = item.nodeid.split("::", 1)[1] if "::" in item.nodeid else ""
-        if fname in SLOW or any(
-            s.startswith(fname + "::") and test.startswith(s.split("::", 1)[1])
-            for s in SLOW
-        ):
+        slow = False
+        if fname in SLOW:
+            matched.add(fname)
+            slow = True
+        for s in SLOW:
+            if s.startswith(fname + "::") and test.startswith(s.split("::", 1)[1]):
+                matched.add(s)
+                slow = True
+        if slow:
             item.add_marker(pytest.mark.slow)
+    # A typo'd / renamed SLOW entry would silently put a 200s+ test back into
+    # the default CI gate (or sit stale forever). Only judge entries whose
+    # file was actually collected — a single-file run must not flag the rest.
+    stale = {s for s in SLOW - matched
+             if s.split("::", 1)[0] in collected_files}
+    if stale:
+        import warnings
+        warnings.warn(
+            "conftest SLOW entries matched no collected test (typo or rename"
+            " — fix the list): " + ", ".join(sorted(stale)), stacklevel=1)

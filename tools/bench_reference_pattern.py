@@ -152,6 +152,7 @@ def main():
     # minutes, and the rate is what's being recorded, not the volume)
     ids, mask = batches[0]
     stack = forward(params, ids, mask, cfg, output_hidden_states=True)
+    jax.block_until_ready(stack)  # don't fold pending compute into the rate
     t0 = time.perf_counter()
     last_h = np.asarray(stack[-1])
     t_one = time.perf_counter() - t0
@@ -162,9 +163,15 @@ def main():
     # host pooling on the fetched last layer (numpy, single core) — the
     # reference pools exactly one layer of the stack it fetched. Best-of-3:
     # a single rep on a shared host can be inflated several-fold by
-    # unrelated load, which would flatter OUR ratio.
+    # unrelated load, which would flatter OUR ratio. Pooling cost is linear
+    # in the batch's B*T elements, so scale the measured batch-0 time by
+    # each batch's element count instead of multiplying the LONGEST batch
+    # (batches are length-sorted descending) by len(batches) — that
+    # overstated the reference's cost against this file's stated generosity.
     mask_h = np.asarray(mask, np.float32)
-    t_pool = 1e9
+    elems0 = ids.shape[0] * ids.shape[1]
+    elems_total = sum(i.shape[0] * i.shape[1] for i, _ in batches)
+    t_pool1 = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         h = last_h.astype(np.float32)
@@ -172,7 +179,8 @@ def main():
         me = mask_h[:, :, None]
         emb = (h * me * w).sum(1) / (me * w).sum(1)
         emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        t_pool = min(t_pool, (time.perf_counter() - t0) * len(batches))
+        t_pool1 = min(t_pool1, time.perf_counter() - t0)
+    t_pool = t_pool1 * elems_total / elems0
 
     t_ref_pcie = t_ref_dev + t_d2h_pcie + t_pool
     t_ref_pcie_strong = t_ref_dev + t_d2h_pcie + t_pool / 8  # multicore host
