@@ -179,7 +179,9 @@ class CECorrelationEvaluator:
 
 
 class CEBinaryClassificationEvaluator:
-    """Best-threshold accuracy over predicted scores (ST CEBinaryAccuracyEvaluator)."""
+    """Best-threshold accuracy over predicted scores — the ST fork's
+    CEBinaryClassificationEvaluator ("determines automatically the optimal
+    threshold"); the fixed-threshold variant is CEBinaryAccuracyEvaluator."""
 
     def __init__(self, pairs: Sequence[Tuple[str, str]], labels: Sequence[int]):
         self.pairs, self.labels = list(pairs), np.asarray(labels, int)
@@ -193,3 +195,70 @@ class CEBinaryClassificationEvaluator:
         for t in thresholds:
             best = max(best, float(np.mean((pred >= t).astype(int) == self.labels)))
         return best
+
+
+class CEBinaryAccuracyEvaluator:
+    """Fixed-threshold accuracy for 1-output cross-encoders — the ST fork's
+    cross_encoder/evaluation/CEBinaryAccuracyEvaluator.py (predict > threshold
+    vs gold labels; default 0.5 on the sigmoid scores)."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], labels: Sequence[int],
+                 threshold: float = 0.5):
+        self.pairs, self.labels = list(pairs), np.asarray(labels, int)
+        self.threshold = threshold
+
+    def __call__(self, model: CrossEncoderTrainable) -> float:
+        pred = model.predict(self.pairs)
+        pred = pred if pred.ndim == 1 else pred[:, -1]
+        return float(np.mean((pred > self.threshold).astype(int) == self.labels))
+
+
+class CESoftmaxAccuracyEvaluator:
+    """Argmax accuracy for multi-output cross-encoders — the ST fork's
+    cross_encoder/evaluation/CESoftmaxAccuracyEvaluator.py."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], labels: Sequence[int]):
+        self.pairs, self.labels = list(pairs), np.asarray(labels, int)
+
+    def __call__(self, model: CrossEncoderTrainable) -> float:
+        logits = model.predict(self.pairs)
+        if logits.ndim != 2:
+            raise ValueError("CESoftmaxAccuracyEvaluator needs a multi-output "
+                             "model (num_labels >= 2)")
+        return float(np.mean(np.argmax(logits, axis=1) == self.labels))
+
+
+class CERerankingEvaluator:
+    """Mean MRR@k over rerank samples — the ST fork's
+    cross_encoder/evaluation/CERerankingEvaluator.py. Each sample is
+    {'query': str, 'positive': [docs], 'negative': [docs]}; samples missing
+    either side are skipped (reference behavior). All (query, doc) pairs
+    across samples score in ONE predict pass (one length-bucketed device
+    sweep) instead of the reference's per-query dispatch."""
+
+    def __init__(self, samples, mrr_at_k: int = 10):
+        if isinstance(samples, dict):
+            samples = list(samples.values())
+        self.samples = [s for s in samples if s["positive"] and s["negative"]]
+        self.mrr_at_k = mrr_at_k
+
+    def __call__(self, model) -> float:
+        if not self.samples:
+            return 0.0
+        pairs, spans = [], []
+        for s in self.samples:
+            docs = list(s["positive"]) + list(s["negative"])
+            spans.append((len(pairs), len(pairs) + len(docs), len(s["positive"])))
+            pairs.extend((s["query"], d) for d in docs)
+        pred = model.predict(pairs)
+        pred = pred if pred.ndim == 1 else pred[:, -1]
+        mrrs = []
+        for lo, hi, n_pos in spans:
+            order = np.argsort(-pred[lo:hi], kind="stable")
+            mrr = 0.0
+            for rank, idx in enumerate(order[: self.mrr_at_k]):
+                if idx < n_pos:
+                    mrr = 1.0 / (rank + 1)
+                    break
+            mrrs.append(mrr)
+        return float(np.mean(mrrs))

@@ -7,7 +7,8 @@ from .sts import EmbeddingSimilarityEvaluator
 from .ir import InformationRetrievalEvaluator
 from .extra import (TripletEvaluator, BinaryClassificationEvaluator,
                     RerankingEvaluator, MSEEvaluator, TranslationEvaluator,
-                    SequentialEvaluator)
+                    SequentialEvaluator, LabelAccuracyEvaluator,
+                    MSEEvaluatorFromDataFrame)
 from .aggregate import ResultsStore
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "EmbeddingSimilarityEvaluator", "InformationRetrievalEvaluator",
     "TripletEvaluator", "BinaryClassificationEvaluator", "RerankingEvaluator",
     "MSEEvaluator", "TranslationEvaluator", "SequentialEvaluator",
+    "LabelAccuracyEvaluator", "MSEEvaluatorFromDataFrame",
     "ResultsStore",
 ]

@@ -134,6 +134,83 @@ class TranslationEvaluator:
         return self.compute(encode_fn)["mean"]
 
 
+class LabelAccuracyEvaluator:
+    """Argmax accuracy of a SoftmaxLoss classification head over labeled pairs
+    — the ST fork's evaluation/LabelAccuracyEvaluator.py ("requires a model
+    with LossFunction.SOFTMAX"). Functional form: __call__ takes
+    `classify_fn(sentences1, sentences2) -> (N, num_labels) logits`; build one
+    from an encode_fn plus the trained softmax_loss head with
+    `softmax_head_classifier` (same [u; v; |u-v|] @ W features as
+    losses.softmax_loss)."""
+
+    def __init__(self, sentences1: Sequence[str], sentences2: Sequence[str],
+                 labels: Sequence[int], name: str = ""):
+        assert len(sentences1) == len(sentences2) == len(labels)
+        self.s1, self.s2 = list(sentences1), list(sentences2)
+        self.labels = np.asarray(labels, int)
+        self.name = name
+
+    @staticmethod
+    def softmax_head_classifier(encode_fn, classifier_w, classifier_b=None):
+        w = np.asarray(classifier_w, np.float64)
+        b = None if classifier_b is None else np.asarray(classifier_b, np.float64)
+
+        def classify(s1: Sequence[str], s2: Sequence[str]) -> np.ndarray:
+            u = np.asarray(encode_fn(list(s1)), np.float64)
+            v = np.asarray(encode_fn(list(s2)), np.float64)
+            logits = np.concatenate([u, v, np.abs(u - v)], axis=-1) @ w
+            return logits if b is None else logits + b
+
+        return classify
+
+    def __call__(self, classify_fn) -> float:
+        logits = np.asarray(classify_fn(self.s1, self.s2))
+        return float(np.mean(np.argmax(logits, axis=1) == self.labels))
+
+
+class MSEEvaluatorFromDataFrame:
+    """Multilingual distillation MSE over parallel rows — the ST fork's
+    evaluation/MSEEvaluatorFromDataFrame.py. `rows` is a list of
+    {lang: sentence} dicts; `combinations` is [(src_lang, trg_lang), ...].
+    Teacher embeddings of the (deduped) source sentences are computed once at
+    construction; __call__(encode_fn) embeds each combination's target
+    sentences with the student and returns -mean(MSE x100) (higher is better,
+    matching the reference's negated return). Rows where either side is
+    empty/whitespace are skipped, as upstream."""
+
+    def __init__(self, rows: Sequence[Dict[str, str]], teacher_encode_fn,
+                 combinations: Sequence[Tuple[str, str]], name: str = ""):
+        self.combinations = list(combinations)
+        self.name = name
+        self.data: Dict[Tuple[str, str], Tuple[List[str], List[str]]] = {}
+        all_sources: List[str] = []
+        seen = set()
+        for src_lang, trg_lang in self.combinations:
+            src, trg = [], []
+            for row in rows:
+                if row[src_lang].strip() and row[trg_lang].strip():
+                    src.append(row[src_lang])
+                    trg.append(row[trg_lang])
+                    if row[src_lang] not in seen:
+                        seen.add(row[src_lang])
+                        all_sources.append(row[src_lang])
+            self.data[(src_lang, trg_lang)] = (src, trg)
+        embs = np.asarray(teacher_encode_fn(all_sources), np.float64)
+        self.teacher = dict(zip(all_sources, embs))
+
+    def compute(self, encode_fn) -> Dict[str, float]:
+        out = {}
+        for src_lang, trg_lang in self.combinations:
+            src, trg = self.data[(src_lang, trg_lang)]
+            t = np.asarray([self.teacher[s] for s in src])
+            s = np.asarray(encode_fn(trg), np.float64)
+            out[f"{src_lang}-{trg_lang}"] = float(np.mean((t - s) ** 2) * 100)
+        return out
+
+    def __call__(self, encode_fn) -> float:
+        return -float(np.mean(list(self.compute(encode_fn).values())))
+
+
 class SequentialEvaluator:
     """Run several evaluators; the score is main_score_function of their scores
     (default: the last one, like ST's SequentialEvaluator)."""

@@ -76,6 +76,90 @@ class WhitespaceTokenizer:
         return out
 
 
+class PhraseTokenizer(WhitespaceTokenizer):
+    """Phrase-aware word tokenizer (models/tokenizer/PhraseTokenizer.py):
+    vocab entries joined by `ngram_separator` (word2vec-style `New_York`) are
+    detected in text — longest n-grams first, left to right — and emitted as
+    one token. Lookup order follows the upstream phrase variant: raw ->
+    lowercased -> punctuation-stripped (the plain WhitespaceTokenizer strips
+    punctuation before lowering), each stage dropping stop words.
+
+    Word splitting uses nltk's treebank word tokenizer when available (the
+    upstream choice; `preserve_line=True` needs no downloaded data) and falls
+    back to a punctuation-separating regex split otherwise."""
+
+    def __init__(self, vocab: Iterable[str] = (),
+                 stop_words: Iterable[str] = ENGLISH_STOP_WORDS,
+                 do_lower_case: bool = False, ngram_separator: str = "_",
+                 max_ngram_length: int = 5):
+        super().__init__(vocab, stop_words, do_lower_case)
+        self.ngram_separator = ngram_separator
+        self.max_ngram_length = max_ngram_length
+        self.ngram_lookup = set()
+        self.ngram_lengths = set()
+        for word in self.vocab:
+            if ngram_separator and ngram_separator in word:
+                n = word.count(ngram_separator) + 1
+                # doubled separators mark malformed source vectors upstream
+                if ngram_separator * 2 not in word and n <= max_ngram_length:
+                    self.ngram_lookup.add(word)
+                    self.ngram_lengths.add(n)
+
+    @staticmethod
+    def _word_split(text: str) -> List[str]:
+        try:
+            import nltk
+            return nltk.word_tokenize(text, preserve_line=True)
+        except Exception:
+            import re
+            return re.findall(r"\w+(?:[-']\w+)*|[^\w\s]", text)
+
+    def tokenize(self, text: str) -> List[int]:
+        if self.do_lower_case:
+            text = text.lower()
+        tokens = self._word_split(text)
+        # merge phrases, longest n-grams first so 4-grams beat their bigrams
+        for n in sorted(self.ngram_lengths, reverse=True):
+            i = 0
+            while i <= len(tokens) - n:
+                ngram = self.ngram_separator.join(tokens[i : i + n])
+                if ngram in self.ngram_lookup:
+                    tokens[i : i + n] = [ngram]
+                elif ngram.lower() in self.ngram_lookup:
+                    tokens[i : i + n] = [ngram.lower()]
+                i += 1
+        out: List[int] = []
+        for token in tokens:
+            for stage in (token, token.lower(),
+                          token.lower().strip(string.punctuation)):
+                if stage in self.stop_words:
+                    break
+                if stage and stage in self.word2idx:
+                    out.append(self.word2idx[stage])
+                    break
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Dropout (sentence-embedding module)
+# ---------------------------------------------------------------------------
+
+def embedding_dropout(embeddings: jax.Array, rate: float,
+                      key: Optional[jax.Array] = None,
+                      deterministic: bool = True) -> jax.Array:
+    """models/Dropout.py — dropout on the pooled sentence embedding. Inverted
+    dropout (keep-scaled by 1/(1-p)), identity when deterministic or rate 0;
+    a key is required only on the train path (explicit PRNG instead of the
+    torch module's hidden RNG state — what makes GradCache replays exact)."""
+    if deterministic or rate <= 0.0:
+        return embeddings
+    if key is None:
+        raise ValueError("embedding_dropout(deterministic=False) needs a key")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, embeddings.shape)
+    return jnp.where(mask, embeddings / keep, 0.0).astype(embeddings.dtype)
+
+
 def _pad_bucket(n: int, cap: int = 1 << 14) -> int:
     b = 8
     while b < n and b < cap:

@@ -122,3 +122,69 @@ def test_mse_translation_sequential():
 
     seq = SequentialEvaluator([lambda f: 0.5, lambda f: 0.9])
     assert seq(toy_encode) == 0.9
+
+
+# ---------------------------------------------------------------------------
+# round-5 evaluation tail: LabelAccuracyEvaluator, MSEEvaluatorFromDataFrame
+# ---------------------------------------------------------------------------
+
+def test_label_accuracy_evaluator_golden():
+    from sgpt_tpu.evaluation.extra import LabelAccuracyEvaluator
+    ev = LabelAccuracyEvaluator(["a", "b", "c"], ["x", "y", "z"], [0, 1, 1])
+
+    def classify(s1, s2):
+        return np.array([[2.0, 0.0],    # 0 == 0
+                         [0.0, 2.0],    # 1 == 1
+                         [2.0, 0.0]])   # 0 != 1
+    assert ev(classify) == pytest.approx(2 / 3)
+
+
+def test_label_accuracy_softmax_head_matches_loss_features():
+    """softmax_head_classifier must build the same [u; v; |u-v|] features as
+    losses.softmax_loss, so an evaluator over a trained head is consistent."""
+    from sgpt_tpu.evaluation.extra import LabelAccuracyEvaluator
+    rng = np.random.default_rng(0)
+    D, C = 6, 3
+    emb = {"a": rng.normal(size=D), "b": rng.normal(size=D),
+           "x": rng.normal(size=D), "y": rng.normal(size=D)}
+    W = rng.normal(size=(3 * D, C))
+    b = rng.normal(size=C)
+
+    def encode(texts):
+        return np.stack([emb[t] for t in texts])
+
+    classify = LabelAccuracyEvaluator.softmax_head_classifier(encode, W, b)
+    logits = classify(["a", "b"], ["x", "y"])
+    u, v = encode(["a", "b"]), encode(["x", "y"])
+    feats = np.concatenate([u, v, np.abs(u - v)], axis=-1)
+    np.testing.assert_allclose(logits, feats @ W + b, rtol=1e-12)
+    # and it agrees with the jax loss's logits argmax
+    scores = jnp.concatenate([jnp.asarray(u), jnp.asarray(v),
+                              jnp.abs(jnp.asarray(u - v))], axis=-1) @ W + b
+    labels = np.argmax(np.asarray(scores), axis=1)
+    ev = LabelAccuracyEvaluator(["a", "b"], ["x", "y"], labels)
+    assert ev(classify) == pytest.approx(1.0)
+
+
+def test_mse_evaluator_from_dataframe_golden():
+    from sgpt_tpu.evaluation.extra import MSEEvaluatorFromDataFrame
+    rows = [{"en": "one", "de": "eins"},
+            {"en": "two", "de": "zwei"},
+            {"en": "   ", "de": "leer"}]   # skipped: empty source
+    vecs = {"one": np.array([1.0, 0.0]), "two": np.array([0.0, 1.0]),
+            "eins": np.array([1.0, 0.2]), "zwei": np.array([0.0, 1.0])}
+    teacher_calls = []
+
+    def teacher(texts):
+        teacher_calls.append(list(texts))
+        return np.stack([vecs[t] for t in texts])
+
+    def student(texts):
+        return np.stack([vecs[t] for t in texts])
+
+    ev = MSEEvaluatorFromDataFrame(rows, teacher, [("en", "de")])
+    # teacher ran once, on the deduped non-empty sources
+    assert teacher_calls == [["one", "two"]]
+    # row1 mse = mean((1-1)^2,(0-.2)^2)=.02 ; row2 = 0 ; mean=.01 ; x100=1.0
+    assert ev.compute(student)["en-de"] == pytest.approx(1.0)
+    assert ev(student) == pytest.approx(-1.0)  # negated, higher-is-better

@@ -129,3 +129,57 @@ def test_lstm_cnn_compose_into_pooling():
     pooled = mean_pool(h, mask)
     assert pooled.shape == (2, 8)
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5 tail: PhraseTokenizer, embedding dropout
+# ---------------------------------------------------------------------------
+
+def test_phrase_tokenizer_merges_ngrams():
+    from sgpt_tpu.modules import PhraseTokenizer
+    vocab = ["New_York", "New", "York", "is", "big", "city"]
+    tok = PhraseTokenizer(vocab, stop_words={"is"})
+    ids = tok.tokenize("New York is a big city")
+    # "New York" merges to the phrase token; "is" is a stop word; "a" is OOV
+    assert ids == [vocab.index("New_York"), vocab.index("big"),
+                   vocab.index("city")]
+
+
+def test_phrase_tokenizer_longest_ngram_wins_and_limits():
+    from sgpt_tpu.modules import PhraseTokenizer
+    vocab = ["a_b_c", "a_b", "c", "x__y", "one_two_three_four_five_six"]
+    tok = PhraseTokenizer(vocab, stop_words=set())
+    # trigram beats its bigram prefix
+    assert tok.tokenize("a b c") == [vocab.index("a_b_c")]
+    # doubled separator and >max_ngram_length entries are not phrases
+    assert "x__y" not in tok.ngram_lookup
+    assert "one_two_three_four_five_six" not in tok.ngram_lookup
+
+
+def test_phrase_tokenizer_lookup_order():
+    from sgpt_tpu.modules import PhraseTokenizer
+    # phrase variant looks up raw -> lower -> lower+strip-punctuation
+    vocab = ["Paris", "paris", "berlin"]
+    tok = PhraseTokenizer(vocab, stop_words=set())
+    assert tok.tokenize("Paris") == [vocab.index("Paris")]     # raw hit first
+    assert tok.tokenize("PARIS") == [vocab.index("paris")]     # lower stage
+    assert tok.tokenize("Berlin,") == [vocab.index("berlin")]  # strip stage
+    # lowercase phrase fallback in the merge loop
+    tok2 = PhraseTokenizer(["new_york"], stop_words=set())
+    assert tok2.tokenize("New York") == [0]
+
+
+def test_embedding_dropout_semantics():
+    from sgpt_tpu.modules import embedding_dropout
+    x = jnp.ones((16, 64), jnp.float32)
+    # deterministic / rate-0: identity, no key needed
+    np.testing.assert_array_equal(embedding_dropout(x, 0.5), x)
+    np.testing.assert_array_equal(
+        embedding_dropout(x, 0.0, deterministic=False), x)
+    with pytest.raises(ValueError):
+        embedding_dropout(x, 0.5, deterministic=False)
+    y = np.asarray(embedding_dropout(x, 0.5, key=jax.random.key(0),
+                                     deterministic=False))
+    kept = y != 0.0
+    assert 0.3 < kept.mean() < 0.7            # ~keep fraction
+    np.testing.assert_allclose(y[kept], 2.0)  # inverted-dropout scale 1/(1-p)

@@ -165,3 +165,85 @@ def test_ce_pair_scores_depend_on_both_sides(ce):
     s_a = ce.predict([(long_q, "doc about apples")])
     s_b = ce.predict([(long_q, "doc about oranges")])
     assert s_a[0] != s_b[0]  # passage reaches the model even at full-window s1
+
+
+# ---------------------------------------------------------------------------
+# round-5 CE evaluator tail (reference cross_encoder/evaluation/*.py)
+# ---------------------------------------------------------------------------
+
+class _StubCE:
+    """predict() returns canned scores — golden-value tests for evaluator math."""
+
+    def __init__(self, scores):
+        self.scores = np.asarray(scores)
+
+    def predict(self, pairs, **kw):
+        assert len(pairs) == len(self.scores)
+        return self.scores
+
+
+def test_ce_binary_accuracy_fixed_threshold():
+    from sgpt_tpu.cross_encoder_trainable import CEBinaryAccuracyEvaluator
+    pairs = [("q", "d")] * 4
+    ev = CEBinaryAccuracyEvaluator(pairs, labels=[1, 0, 1, 0])
+    # scores .9,.2,.4,.6 at threshold .5 -> preds 1,0,0,1 -> acc 0.5
+    assert ev(_StubCE([0.9, 0.2, 0.4, 0.6])) == pytest.approx(0.5)
+    ev2 = CEBinaryAccuracyEvaluator(pairs, labels=[1, 0, 1, 0], threshold=0.3)
+    # preds 1,0,1,1 -> acc 0.75
+    assert ev2(_StubCE([0.9, 0.2, 0.4, 0.6])) == pytest.approx(0.75)
+
+
+def test_ce_softmax_accuracy():
+    from sgpt_tpu.cross_encoder_trainable import CESoftmaxAccuracyEvaluator
+    pairs = [("a", "b")] * 3
+    ev = CESoftmaxAccuracyEvaluator(pairs, labels=[0, 2, 1])
+    logits = np.array([[2.0, 1.0, 0.0],    # argmax 0 == label 0
+                       [0.0, 1.0, 2.0],    # argmax 2 == label 2
+                       [3.0, 1.0, 2.0]])   # argmax 0 != label 1
+    assert ev(_StubCE(logits)) == pytest.approx(2 / 3)
+    with pytest.raises(ValueError):
+        ev(_StubCE(np.zeros(3)))  # 1-output model is a usage error
+
+
+def test_ce_reranking_evaluator_golden():
+    from sgpt_tpu.cross_encoder_trainable import CERerankingEvaluator
+    samples = [
+        # positive ranked 2nd -> MRR 1/2
+        {"query": "q1", "positive": ["p"], "negative": ["n1", "n2"]},
+        # positive ranked 1st -> MRR 1
+        {"query": "q2", "positive": ["p"], "negative": ["n"]},
+        # skipped: no negatives (reference behavior)
+        {"query": "q3", "positive": ["p"], "negative": []},
+    ]
+    ev = CERerankingEvaluator(samples, mrr_at_k=10)
+    assert len(ev.samples) == 2  # the empty-negative sample dropped
+    # q1 docs [p, n1, n2] scores .5,.9,.1 -> order n1,p,n2; q2 [p, n] .8,.2
+    assert ev(_StubCE([0.5, 0.9, 0.1, 0.8, 0.2])) == pytest.approx((0.5 + 1.0) / 2)
+
+
+def test_ce_reranking_mrr_cutoff_and_dict_input():
+    from sgpt_tpu.cross_encoder_trainable import CERerankingEvaluator
+    # positive ranked 3rd but mrr_at_k=2 -> MRR 0
+    samples = {"q": {"query": "q", "positive": ["p"],
+                     "negative": ["n1", "n2"]}}
+    ev = CERerankingEvaluator(samples, mrr_at_k=2)
+    assert ev(_StubCE([0.1, 0.9, 0.5])) == pytest.approx(0.0)
+
+
+def test_ce_reranking_with_real_model(ce):
+    from sgpt_tpu.cross_encoder_trainable import CERerankingEvaluator
+    samples = [{"query": "alpha beta", "positive": ["alpha beta"],
+                "negative": ["gamma delta", "zzz yyy"]}]
+    score = CERerankingEvaluator(samples)(ce)
+    assert 0.0 <= score <= 1.0
+
+
+def test_ce_softmax_accuracy_with_real_multilabel_model():
+    from sgpt_tpu.cross_encoder_trainable import CESoftmaxAccuracyEvaluator
+    from sgpt_tpu.models import tiny, init_params
+    cfg = tiny("neo", num_layers=2, hidden_size=32, num_heads=2, vocab_size=VOCAB)
+    params = init_params(cfg, jax.random.key(1))
+    model = CrossEncoderTrainable(params, cfg, SimpleTokenizer(vocab_size=VOCAB),
+                                  num_labels=3, batch_size=4, max_length=32)
+    ev = CESoftmaxAccuracyEvaluator([("a", "b"), ("c", "d")], [0, 1])
+    assert 0.0 <= ev(model) <= 1.0
