@@ -68,8 +68,11 @@ def main(argv=None):
                     help="exact scan (batched sweeps) or balanced-IVF ANN "
                     "(interactive latency; reads ~nprobe/clusters of the "
                     "corpus per query)")
-    ap.add_argument("--clusters", type=int, default=1024,
-                    help="IVF cluster count")
+    ap.add_argument("--clusters", default="auto",
+                    type=lambda s: s if s == "auto" else int(s),
+                    help="IVF cluster count, or 'auto' (default): sweep K on "
+                    "the k-means training sample and pick the largest K "
+                    "under the 10%% overflow knee")
     ap.add_argument("--nprobe", type=int, default=32,
                     help="IVF clusters probed per query")
     ap.add_argument("--corpus", default=None, help="jsonl corpus to index at start")

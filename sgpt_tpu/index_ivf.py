@@ -43,9 +43,19 @@ whose natural topic count is smaller — k-means then splits real clusters
 into fragments below the balance threshold, a large fraction of the corpus
 spills to overflow (38% at K=16384 over a 4096-topic 10M corpus), and the
 "probe" degenerates into a half-corpus exact scan (flat latency/recall
-across nprobe is the tell-tale). Prefer K near the corpus's topic
-granularity, or sweep K on a sample and pick the knee of overflow fraction
-(`build()` logs it) vs probe latency.
+across nprobe is the tell-tale).
+
+`n_clusters="auto"` (the default answer to that footgun) sweeps candidate K
+values on the SAME training sample k-means already uses: a short k-means +
+one sample assignment per candidate estimates each K's overflow fraction
+(sample counts scaled to corpus size against the real C_pad formula), and
+the sweep picks the LARGEST K whose estimate stays under
+`auto_overflow_target` (10%) — i.e. the knee where k-means stops matching
+the corpus's natural granularity. Probe bytes per query scale as
+nprobe·C_pad·D ∝ nprobe/K, so the largest non-overflowing K is also the
+fastest probe. build() additionally warns LOUDLY whenever the realized
+overflow exceeds the target, with the sweep as the suggested fix —
+regardless of how K was chosen.
 """
 from __future__ import annotations
 
@@ -251,13 +261,15 @@ class IVFIndex:
     """Balanced IVF-flat approximate index (duck-type compatible with
     DenseIndex: add / build / search_embeddings / __len__ / pending_docs)."""
 
-    def __init__(self, dim: int, *, n_clusters: int = 1024,
+    def __init__(self, dim: int, *, n_clusters="auto",
                  normalize_embeddings: bool = True, pad_factor: float = 1.5,
                  kmeans_iters: int = 10, train_slab: int = 1 << 15,
                  max_train_rows: int = 1 << 18, assign_chunk: int = 1 << 20,
                  nprobe: int = 32, seed: int = 0,
                  dtype=jnp.bfloat16, quantize: Optional[str] = None,
                  block_size: int = 128, gather_budget: int = 1 << 28,
+                 auto_overflow_target: float = 0.10,
+                 auto_sweep_iters: int = 4,
                  mesh=None):
         """mesh: a dp Mesh shards the cluster blocks (and overflow rows) over
         the data axis — k-means/assignment stay global, cluster c's block
@@ -275,6 +287,10 @@ class IVFIndex:
         remains exact; tests cover both regimes."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if n_clusters != "auto" and (not isinstance(n_clusters, (int, np.integer))
+                                     or n_clusters < 1):
+            raise ValueError(f"n_clusters must be a positive int or 'auto', "
+                             f"got {n_clusters!r}")
         self.mesh = mesh
         self.dim = dim
         self.n_clusters = n_clusters
@@ -290,6 +306,9 @@ class IVFIndex:
         self.quantize = quantize
         self.block_size = block_size   # pending/overflow slab granularity
         self.gather_budget = gather_budget  # bytes: caps qchunk·nprobe·C_pad·D
+        self.auto_overflow_target = auto_overflow_target
+        self.auto_sweep_iters = auto_sweep_iters
+        self.selected_k: Optional[int] = None  # set by build() (auto or not)
         self._chunks: List[np.ndarray] = []      # int8 when quantized else fp32
         self._scale_chunks: List[np.ndarray] = []
         self._ids: List[str] = []
@@ -499,6 +518,62 @@ class IVFIndex:
                   if self.quantize == "int8" else None)
         return rows, scales
 
+    def _estimate_overflow(self, counts: np.ndarray, train_n: int, n: int,
+                           k: int) -> float:
+        """Corpus-scaled overflow-fraction estimate for candidate K from the
+        training sample's cluster counts: scale sample counts by n/train_n
+        and spill them against the REAL C_pad formula build() will use."""
+        c_pad = max(_round_up(int(self.pad_factor * max(1, n // k)), 8), 8)
+        est_sizes = counts * (n / train_n)
+        return float(np.maximum(est_sizes - c_pad, 0.0).sum() / n)
+
+    def _select_k(self, dev, valid, train_n: int, n: int, rng,
+                  slab: int) -> int:
+        """n_clusters="auto": sweep power-of-two K candidates on the training
+        sample (short k-means + one sample assignment each), estimate each
+        K's overflow fraction, and pick the LARGEST K under
+        auto_overflow_target — the knee where k-means stops matching the
+        corpus's natural cluster granularity (the measured 10M failure mode:
+        K=16384 over a 4096-topic corpus spilled 38% to overflow and the
+        probe degenerated to a half-corpus exact scan, docs/PERF.md).
+
+        Candidates cap at train_n//64 so every estimate averages ≥64 sample
+        rows per cluster — below that, sampling noise reads as overflow and
+        the estimate is meaningless (raise max_train_rows to unlock larger
+        K; the final k-means trains on the same sample anyway)."""
+        kmax = min(train_n // 64, max(1, n // 8), 1 << 16)
+        cands = []
+        k = 8
+        while k <= kmax:
+            cands.append(k)
+            k <<= 1
+        if not cands:
+            return max(1, min(8, n))
+        sweep = []
+        for K in cands:
+            seed_idx = jnp.asarray(
+                rng.choice(train_n, size=K, replace=False), jnp.int32)
+            cent = _kmeans(dev, valid, seed_idx, K, self.auto_sweep_iters,
+                           slab)
+            a = np.asarray(_assign_corpus(dev, cent, slab))[:train_n]
+            ovf = self._estimate_overflow(np.bincount(a, minlength=K),
+                                          train_n, n, K)
+            sweep.append((K, ovf))
+        logger.info("IVF auto-K sweep (sample=%d, target overflow ≤ %.0f%%): %s",
+                    train_n, 100 * self.auto_overflow_target,
+                    ", ".join(f"K={k}: {o:.1%}" for k, o in sweep))
+        under = [k for k, o in sweep if o <= self.auto_overflow_target]
+        if under:
+            return max(under)
+        best = min(sweep, key=lambda t: t[1])
+        logger.warning(
+            "IVF auto-K: no candidate meets the %.0f%% overflow target "
+            "(best: K=%d at %.1f%%) — the corpus has little cluster "
+            "structure at these granularities; picking K=%d. Consider a "
+            "larger pad_factor or the exact DenseIndex.",
+            100 * self.auto_overflow_target, best[0], 100 * best[1], best[0])
+        return best[0]
+
     def build(self):
         """(Re-)cluster everything (built + pending) into the block layout.
 
@@ -529,11 +604,12 @@ class IVFIndex:
             self._id_pos = self._pos_loc = None
             self._k_real = 0
             return self
-        K = min(self.n_clusters, n)
+        auto = self.n_clusters == "auto"
+        K = None if auto else min(self.n_clusters, n)
         rng = np.random.default_rng(self.seed)
 
         # ---- train on a sample (fp32 on device; slab-scanned matmuls) ----
-        train_n = min(n, max(self.max_train_rows, K))
+        train_n = min(n, max(self.max_train_rows, K or 0))
         if train_n < n:
             sample_idx = np.sort(rng.choice(n, size=train_n, replace=False))
         else:
@@ -548,6 +624,10 @@ class IVFIndex:
         del sample
         dev = jnp.asarray(sample_pad)
         valid = jnp.asarray((np.arange(s_pad) < train_n).astype(np.float32))
+        if auto:
+            K = self._select_k(dev, valid, train_n, n, rng, slab)
+            logger.info("IVF auto-K selected n_clusters=%d for %d docs", K, n)
+        self.selected_k = K
         seed_idx = jnp.asarray(rng.choice(train_n, size=K, replace=False),
                                jnp.int32)
         cent = _kmeans(dev, valid, seed_idx, K, self.kmeans_iters, slab)
@@ -591,7 +671,18 @@ class IVFIndex:
                 overflow_rows.append(corpus[members[c_pad:]])
                 overflow_ids.append(members[c_pad:])
         m = sum(len(o) for o in overflow_ids)
-        if m:
+        if m and m / n > self.auto_overflow_target:
+            # the measured failure mode: at 38% overflow the "probe" was
+            # mostly a half-corpus exact scan (docs/PERF.md, 10M bench) —
+            # warn loudly instead of burying the number at INFO level
+            logger.warning(
+                "IVF overflow is %.1f%% of the corpus (%d/%d docs past "
+                "C_pad=%d) — every search exact-scans that slab, eroding "
+                "the probe's latency win. K=%d likely exceeds the corpus's "
+                "natural cluster count; rebuild with n_clusters='auto' "
+                "(sweeps K on the training sample) or a smaller K.",
+                100.0 * m / n, m, n, c_pad, K)
+        elif m:
             logger.info("IVF overflow: %d/%d docs (%.1f%%) spill past "
                         "C_pad=%d; they are exact-scanned each search",
                         m, n, 100.0 * m / n, c_pad)
@@ -652,6 +743,7 @@ class IVFIndex:
             "ids": _encode_ids(self._ids),
             "meta": np.bytes_(_json.dumps({
                 "kind": "ivf", "dim": self.dim, "n_clusters": self.n_clusters,
+                "selected_k": self.selected_k,
                 "normalize": self.normalize, "quantize": self.quantize,
                 "pad_factor": self.pad_factor, "nprobe": self.nprobe,
                 "block_size": self.block_size, "dtype": np.dtype(self.dtype).name,
@@ -707,6 +799,7 @@ class IVFIndex:
         idx._ids = _decode_ids(z["ids"], meta["count"])
         idx._count = meta["count"]
         idx._built_count = meta["built_count"]
+        idx.selected_k = meta.get("selected_k")
         if meta["built"]:
             quant = meta["quantize"] == "int8"
             # files pre-dating the canonical form carry K/overflow padding;

@@ -417,3 +417,97 @@ def test_serving_service_accepts_sharded_ivf():
         assert "d7" not in [h["id"] for h in hits]
     finally:
         svc.close()
+
+
+# ---------------------------------------------------------------------------
+# round-5: auto-K selection (the overflow-knee sweep)
+# ---------------------------------------------------------------------------
+
+def test_auto_k_lands_near_natural_cluster_count():
+    """A corpus with 16 tight natural clusters: the sweep must reject the
+    over-fragmented candidates (the measured 10M footgun where K >> topics
+    pushed 38% of the corpus into the exact-scanned overflow slab) and land
+    at a K whose realized overflow stays under the target."""
+    emb, rng = _mixture(8192, dim=32, centers=16, spread=0.1)
+    idx = IVFIndex(32, n_clusters="auto", nprobe=8, seed=0,
+                   max_train_rows=8192)
+    idx.add(emb)
+    idx.build()
+    assert idx.selected_k is not None
+    # candidates were 8..min(8192//64=128, 8192//8=1024) = 128; the realized
+    # overflow at the selection must be under the 10% target
+    assert 8 <= idx.selected_k <= 128
+    ovf_frac = idx._overflow_count / 8192
+    assert ovf_frac <= idx.auto_overflow_target + 0.02
+    # and the index actually searches well
+    q = emb[rng.integers(0, 8192, 16)].astype(np.float32)
+    oracle = _exact_topk(emb, q, 10)
+    _, ids = idx.search_embeddings(q, k=10, nprobe=8)
+    assert _recall(ids, oracle, 10) >= 0.85
+
+
+def test_auto_k_beats_oversized_k_on_overflow():
+    """Same corpus, deliberately oversized manual K: overflow must exceed
+    what auto-K realizes — the regression the sweep exists to prevent."""
+    emb, _ = _mixture(4096, dim=32, centers=8, spread=0.05)
+    auto = IVFIndex(32, n_clusters="auto", max_train_rows=4096, seed=0)
+    auto.add(emb)
+    auto.build()
+    big = IVFIndex(32, n_clusters=512, max_train_rows=4096, seed=0)
+    big.add(emb)
+    big.build()
+    assert auto._overflow_count / 4096 <= auto.auto_overflow_target + 0.02
+    assert big._overflow_count > auto._overflow_count
+    # probe bytes per query scale with C_pad at fixed nprobe: the auto index
+    # must not pay the degenerate big-K layout's overflow exact scan
+    assert auto.selected_k < 512
+
+
+def test_overflow_estimator_golden():
+    """_estimate_overflow uses the REAL C_pad formula and is invariant to
+    the sample-to-corpus scale factor."""
+    idx = IVFIndex(16, n_clusters=4, pad_factor=1.0)
+    # n=800, K=4 -> c_pad = round_up(1.0 * 200, 8) = 200
+    counts = np.array([400, 200, 100, 100])
+    assert idx._estimate_overflow(counts, 800, 800, 4) == pytest.approx(0.25)
+    # same distribution observed on a half-size sample: identical estimate
+    assert idx._estimate_overflow(counts // 2, 400, 800, 4) == \
+        pytest.approx(0.25)
+    # balanced counts under c_pad: zero overflow
+    assert idx._estimate_overflow(np.full(4, 200), 800, 800, 4) == 0.0
+
+
+def test_auto_k_roundtrips_through_save_load(tmp_path):
+    emb, _ = _mixture(2048, dim=16, centers=8, spread=0.1, seed=5)
+    idx = IVFIndex(16, n_clusters="auto", max_train_rows=2048, seed=0)
+    idx.add(emb)
+    idx.build()
+    p = str(tmp_path / "auto_ivf.npz")
+    idx.save(p)
+    re = IVFIndex.load(p)
+    assert re.n_clusters == "auto"
+    assert re.selected_k == idx.selected_k
+    q = emb[:4]
+    s1, i1 = idx.search_embeddings(q, k=5)
+    s2, i2 = re.search_embeddings(q, k=5)
+    assert i1 == i2
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_loud_overflow_warning_on_oversized_k(caplog):
+    import logging
+    emb, _ = _mixture(2048, dim=16, centers=4, spread=0.03, seed=7)
+    idx = IVFIndex(16, n_clusters=256, max_train_rows=2048, seed=0)
+    idx.add(emb)
+    with caplog.at_level(logging.WARNING, logger="sgpt_tpu.index_ivf"):
+        idx.build()
+    if idx._overflow_count / 2048 > idx.auto_overflow_target:
+        assert any("IVF overflow" in r.message for r in caplog.records)
+
+
+def test_auto_k_rejects_bad_values():
+    with pytest.raises(ValueError):
+        IVFIndex(16, n_clusters="lots")
+    with pytest.raises(ValueError):
+        IVFIndex(16, n_clusters=0)

@@ -135,8 +135,11 @@ def main():
                     help="true mixture components in the synthetic corpus")
     ap.add_argument("--spread", type=float, default=0.75,
                     help="noise-to-signal norm ratio within a cluster")
-    ap.add_argument("--clusters", type=int, default=0,
-                    help="IVF cluster count (0 = auto ~ndocs/600)")
+    ap.add_argument("--clusters", default="auto",
+                    type=lambda s: s if s in ("auto", "n600") else int(s),
+                    help="IVF cluster count; 'auto' (default) = the index's "
+                    "sample-sweep overflow-knee selection; 'n600' = the old "
+                    "~ndocs/600 heuristic (kept for the A/B in docs/PERF.md)")
     ap.add_argument("--nprobe", default="8,32,64")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nq", type=int, default=16)
@@ -154,7 +157,10 @@ def main():
     args = ap.parse_args()
     if args.gen_only and not args.corpus_cache:
         ap.error("--gen-only requires --corpus-cache")
-    K = args.clusters or max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
+    if args.clusters == "n600":
+        K = max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
+    else:
+        K = args.clusters  # "auto" or an explicit int
 
     from sgpt_tpu.index import DenseIndex
     from sgpt_tpu.index_ivf import IVFIndex
@@ -168,8 +174,10 @@ def main():
              else DenseIndex(args.dim, normalize_embeddings=True,
                              quantize="int8"))
     # k-means sample: >=32 docs per centroid (bounded 1M) — the default 256k
-    # cap is too thin at K=16384 (16/cluster)
-    train_rows = min(1 << 20, max(1 << 18, 32 * K))
+    # cap is too thin at K=16384 (16/cluster). auto-K candidates cap at
+    # train_rows//64, so 1M rows unlocks K up to 16384 in the sweep.
+    train_rows = (1 << 20 if K == "auto"
+                  else min(1 << 20, max(1 << 18, 32 * K)))
     ivf = IVFIndex(args.dim, n_clusters=K, quantize="int8",
                    pad_factor=args.pad_factor, max_train_rows=train_rows)
     cache = args.corpus_cache
@@ -265,6 +273,7 @@ def _run_indexes(args, K, exact, ivf, q, oracle):
     t0 = time.perf_counter()
     ivf.build()
     out["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+    out["clusters"] = int(ivf.selected_k)  # the realized K under "auto"
     out["overflow_docs"] = int(ivf._overflow_count)
     out["c_pad"] = int(ivf._blocks.shape[1])
 
