@@ -116,6 +116,7 @@ class CrossEncoderRanker:
         self._data_sharding = None
         self._mesh_score = None
         self._tp_mesh = None
+        self._packed_mesh_fns: dict = {}  # n_seg -> shard_map'd packed scorer
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._data_sharding = NamedSharding(mesh, P("dp", None))
@@ -168,6 +169,24 @@ class CrossEncoderRanker:
     # FFD over length-sorted input loses almost nothing (neighbors in sorted
     # order are the natural bin partners anyway)
     PACK_FFD_WINDOW = 2048
+
+    def _packed_mesh_fn(self, n_seg: int):
+        """dp-shard_map'd packed scorer, cached per n_seg bucket (n_seg is a
+        static arg of continuation_scores_packed, so each bucket is its own
+        compiled wrapper)."""
+        fn = self._packed_mesh_fns.get(n_seg)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+            from .ops.logprobs import continuation_scores_packed as _csp
+            inner = partial(_csp.__wrapped__, cfg=self.cfg, n_seg=n_seg,
+                            vocab_mask=self.vocab_mask)
+            fn = jax.jit(jax.shard_map(
+                lambda p, *arrs: inner(p, *arrs),
+                mesh=self.mesh,
+                in_specs=(P(),) + (P("dp", None),) * 8,
+                out_specs=P("dp", None), check_vma=False))
+            self._packed_mesh_fns[n_seg] = fn
+        return fn
 
     def _score_packed(self, keys, rows, uniq, scores):
         """Bin-pack short requests several-per-row and score per segment.
@@ -250,13 +269,24 @@ class CrossEncoderRanker:
                       jnp.asarray(segids), jnp.asarray(cpos), jnp.asarray(ctgt),
                       jnp.asarray(cmask), jnp.asarray(cseg))
             if self.mesh is not None:
-                # XLA-path attention only (the decoder routes packed rows off
-                # the Pallas kernels), so jit's automatic partitioning owns
-                # the dp split — no shard_map wrapper needed here
                 arrays = tuple(jax.device_put(a, self._data_sharding)
                                for a in arrays)
-            out = continuation_scores_packed(self.params, *arrays, self.cfg,
-                                             S, self.vocab_mask)
+            if self.mesh is None or self._tp_mesh is not None:
+                # single device, or tp>1: the decoder's fused layer nests its
+                # own per-head-shard shard_map; jit's automatic partitioning
+                # owns the dp row split
+                out = continuation_scores_packed(
+                    self.params, *arrays, self.cfg, S, self.vocab_mask,
+                    tp_mesh=self._tp_mesh)
+            elif self.cfg.fused_attention:
+                # pure-dp + fused kernel: pallas_call has no GSPMD rule, so
+                # (like the unpacked _mesh_score) run the scorer under a dp
+                # shard_map — per shard it is just a smaller packed batch
+                out = self._packed_mesh_fn(S)(self.params, *arrays)
+            else:
+                # pure-dp, XLA attention: automatic partitioning suffices
+                out = continuation_scores_packed(
+                    self.params, *arrays, self.cfg, S, self.vocab_mask)
             pending.append(([b[1] for b in batch], out))
             if len(pending) >= FETCH_PIPELINE_DEPTH:
                 drain()

@@ -228,7 +228,9 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
                           attention_mask: jax.Array, local_flag,
                           rope: Optional[tuple],
                           slopes: Optional[jax.Array],
-                          tp_mesh=None, tp_axis: str = "tp") -> jax.Array:
+                          tp_mesh=None, tp_axis: str = "tp",
+                          segment_ids: Optional[jax.Array] = None,
+                          positions: Optional[jax.Array] = None) -> jax.Array:
     """Causal attention via the fused short-T kernel
     (ops/pallas/short_attention.py): q/k/v stay in the (B, T, H*Dh)
     projection layout, the (T, T) scores never leave VMEM. ~1.8x the XLA
@@ -255,28 +257,47 @@ def fused_attention_layer(x: jax.Array, p: dict, cfg: DecoderConfig,
     use_alibi = slopes is not None
     sl = slopes if use_alibi else jnp.zeros((H,), jnp.float32)
 
+    # packed rows: per-segment block-diagonal masks (and, for ALiBi, key
+    # positions that restart at each segment) ride two extra (B, T) int32
+    # kernel inputs; unpacked rows skip both (use_segments staticly off)
+    packed = segment_ids is not None
+    B_, T_ = attention_mask.shape
+    kpos = None
+    if use_alibi and positions is not None:
+        kpos = jnp.broadcast_to(positions, (B_, T_)).astype(jnp.int32)
+
     if tp_mesh is None:
         def run(window: int):
             return short_attention(q, k, v, attention_mask, sl,
-                                   scale, window, H, use_alibi)
+                                   scale, window, H, use_alibi,
+                                   segments=segment_ids, positions=kpos)
     else:
         from jax.sharding import PartitionSpec as P
         tp = tp_mesh.shape[tp_axis]
         Hs = H // tp
         batch_axes = tuple(ax for ax, n in tp_mesh.shape.items()
                            if ax != tp_axis and n > 1) or None
+        # shard_map can't thread None leaves: materialize the defaults the
+        # wrapper would have built (zeros segs are masked out staticly-off;
+        # arange kpos == the unpacked ALiBi key index)
+        seg_arr = (segment_ids if packed
+                   else jnp.zeros((B_, T_), jnp.int32))
+        kpos_arr = (kpos if kpos is not None else jnp.broadcast_to(
+            jnp.arange(T_, dtype=jnp.int32), (B_, T_)))
 
         def run(window: int):
             fn = jax.shard_map(
-                lambda q_, k_, v_, m_, s_: short_attention(
-                    q_, k_, v_, m_, s_, scale, window, Hs, use_alibi),
+                lambda q_, k_, v_, m_, s_, sg_, kp_: short_attention(
+                    q_, k_, v_, m_, s_, scale, window, Hs, use_alibi,
+                    segments=sg_ if packed else None, positions=kp_),
                 mesh=tp_mesh,
                 in_specs=(P(batch_axes, None, tp_axis),
                           P(batch_axes, None, tp_axis),
                           P(batch_axes, None, tp_axis),
-                          P(batch_axes, None), P(tp_axis)),
+                          P(batch_axes, None), P(tp_axis),
+                          P(batch_axes, None), P(batch_axes, None)),
                 out_specs=P(batch_axes, None, tp_axis), check_vma=False)
-            return fn(q, k, v, attention_mask, sl)
+            return fn(q, k, v, attention_mask, sl, seg_arr, kpos_arr)
 
     if any(cfg.local_flags()):
         out = jax.lax.cond(local_flag, lambda: run(cfg.local_window),
@@ -356,8 +377,10 @@ def forward(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
     segment_ids: optional (B, T) — SEQUENCE PACKING: multiple independent
     texts share one row. Attention is block-diagonal (same-segment only),
     and position_ids should restart at each segment (pass them as (B, T)).
-    Packed rows route to the XLA attention path (the Pallas kernels encode
-    only the causal+padding structure).
+    Packed rows keep the fused short-T Pallas kernel (block-diagonal masks
+    and per-segment ALiBi key positions are native kernel inputs since r5);
+    flash/ring paths encode only causal+padding, so packed long-T rows fall
+    back to the XLA path.
 
     cond/cond_params: TSDAE-style decoding conditioned on a (B, D) sentence
     embedding. The reference decodes with HF cross-attention to a SINGLE
@@ -452,9 +475,9 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
             "segment_ids without position_ids: packed rows must carry (B, T) "
             "positions that restart at each segment boundary — global arange "
             "positions would shift every non-first segment's frame")
-    # flash/fused Pallas kernels implement the causal mask; encoder
-    # (bidirectional) models and PACKED rows (block-diagonal segment masks)
-    # take the XLA path
+    # flash implements only the causal+padding mask; encoder (bidirectional)
+    # models and PACKED rows take the XLA or fused path (the fused short-T
+    # kernel carries block-diagonal segment masks natively since r5)
     if cfg.relative_attention and use_sp:
         raise NotImplementedError(
             "relative position bias (T5) is unsupported under sp_mesh")
@@ -478,7 +501,7 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         if tp_size == 1 or cfg.num_heads % tp_size:
             tp_mesh, tp_size = None, 1  # head slices must align; fall back
     if (cfg.fused_attention and not use_sp and not use_flash
-            and not cfg.bidirectional and not packed
+            and not cfg.bidirectional
             and not cfg.relative_attention and 160 <= T <= 512):
         from ..ops.pallas.short_attention import fwd_fits_vmem
         # under TP the kernel runs per head-shard (shard_map), so the VMEM
@@ -544,7 +567,9 @@ def _forward_impl(params, input_ids, attention_mask, cfg, *,
         elif use_fused:
             attn_out = fused_attention_layer(
                 h1, p["attn"], cfg, attention_mask, local_flag, rope, slopes,
-                tp_mesh=tp_mesh if tp_size > 1 else None, tp_axis=tp_axis)
+                tp_mesh=tp_mesh if tp_size > 1 else None, tp_axis=tp_axis,
+                segment_ids=segment_ids,
+                positions=positions if packed else None)
         else:
             if bias_local is not None:
                 mask_bias = jnp.where(local_flag, bias_local, bias_global)

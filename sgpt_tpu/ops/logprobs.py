@@ -76,12 +76,13 @@ def continuation_scores_gathered(params, input_ids, attention_mask,
     return jnp.sum(tok_lp, axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_seg"))
+@partial(jax.jit, static_argnames=("cfg", "n_seg", "tp_mesh"))
 def continuation_scores_packed(params, input_ids, attention_mask,
                                position_ids, segment_ids,
                                cont_positions, cont_targets, cont_mask,
                                cont_seg, cfg: DecoderConfig, n_seg: int,
-                               vocab_mask: Optional[jax.Array] = None):
+                               vocab_mask: Optional[jax.Array] = None,
+                               tp_mesh=None):
     """Per-SEGMENT continuation scores for sequence-packed rows.
 
     Multiple independent (context, continuation) requests share one row:
@@ -96,7 +97,8 @@ def continuation_scores_packed(params, input_ids, attention_mask,
     Returns (B, n_seg) summed log-probs; unused segment slots sum to 0.
     """
     h = forward(params, input_ids, attention_mask, cfg,
-                position_ids=position_ids, segment_ids=segment_ids)
+                position_ids=position_ids, segment_ids=segment_ids,
+                tp_mesh=tp_mesh)
     hc = jnp.take_along_axis(
         h, cont_positions[..., None].astype(jnp.int32), axis=1)     # (B, C, D)
     lg = logits(params, hc, cfg).astype(jnp.float32)                # (B, C, V)

@@ -49,9 +49,15 @@ NEG = -1e9  # the XLA path's mask constant (decoder.NEG_INF); plain python
             # float — a jnp scalar would be a captured tracer in the kernel
 
 
-def _kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, *,
-            scale: float, window: int, H: int, Dh: int, use_alibi: bool):
-    T = q_ref.shape[1]
+def _build_mask(keymask_ref, seg_ref, T: int, window: int,
+                use_segments: bool):
+    """(T, T) boolean attention mask shared by fwd and bwd kernels: causal
+    [∧ sliding window] ∧ key padding [∧ same-segment block diagonal].
+
+    Segment packing: queries see only keys of the SAME segment id — packed
+    segments are contiguous spans, so the causal/window terms on the RAW
+    frame coincide with each segment's standalone mask (crossencoder.py
+    pack_t; decoder._mask_bias carries the identical XLA-path semantics)."""
     km = keymask_ref[0, 0, :] > 0                                  # (T,)
     qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
@@ -59,7 +65,22 @@ def _kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, *,
     if window > 0:
         mask = jnp.logical_and(mask, kpos > qpos - window)
     mask = jnp.logical_and(mask, km[None, :])
-    kpos_f = kpos.astype(jnp.float32) if use_alibi else None
+    if use_segments:
+        seg = seg_ref[0, 0, :]                                     # (T,)
+        mask = jnp.logical_and(mask, seg[None, :] == seg[:, None])
+    return mask
+
+
+def _kernel(keymask_ref, slopes_ref, seg_ref, kpos_ref,
+            q_ref, k_ref, v_ref, o_ref, *,
+            scale: float, window: int, H: int, Dh: int, use_alibi: bool,
+            use_segments: bool):
+    T = q_ref.shape[1]
+    mask = _build_mask(keymask_ref, seg_ref, T, window, use_segments)
+    # ALiBi keys use the SUPPLIED positions row (restarts per segment when
+    # packed; arange — BLOOM's cumsum-1 under right padding — otherwise)
+    kpos_f = (kpos_ref[0, 0, :].astype(jnp.float32)[None, :]
+              if use_alibi else None)
 
     for h in range(H):
         sl = pl.dslice(h * Dh, Dh)
@@ -82,9 +103,11 @@ def _kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, *,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
+def _bwd_kernel(keymask_ref, slopes_ref, seg_ref, kpos_ref,
+                q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *,
-                scale: float, window: int, H: int, Dh: int, use_alibi: bool):
+                scale: float, window: int, H: int, Dh: int, use_alibi: bool,
+                use_segments: bool):
     """Backward: recompute scores/probs per head in VMEM, softmax VJP in fp32.
 
     dV = Pᵀ g;  dP = g Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P)), then dS is
@@ -97,14 +120,9 @@ def _bwd_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
     the explicit re-mask they would leak nonzero dq and corrupt dk at valid
     key rows."""
     T = q_ref.shape[1]
-    km = keymask_ref[0, 0, :] > 0
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    mask = kpos <= qpos
-    if window > 0:
-        mask = jnp.logical_and(mask, kpos > qpos - window)
-    mask = jnp.logical_and(mask, km[None, :])
-    kpos_f = kpos.astype(jnp.float32) if use_alibi else None
+    mask = _build_mask(keymask_ref, seg_ref, T, window, use_segments)
+    kpos_f = (kpos_ref[0, 0, :].astype(jnp.float32)[None, :]
+              if use_alibi else None)
 
     for h in range(H):
         sl = pl.dslice(h * Dh, Dh)
@@ -146,15 +164,27 @@ def _bwd_kernel(keymask_ref, slopes_ref, q_ref, k_ref, v_ref, g_ref,
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes, g,
-                              scale, window, H, use_alibi,
+def _seg_kpos_blocks(key_mask, segments, positions, B: int, T: int):
+    """Host-side prep of the (B, 1, T) int32 seg/kpos blocks. Unpacked rows
+    pass a zero segment block (masked out of the kernel by use_segments) and
+    arange positions (== the old iota ALiBi key index)."""
+    seg = (segments if segments is not None
+           else jnp.zeros_like(key_mask)).astype(jnp.int32).reshape(B, 1, T)
+    kp = (positions if positions is not None
+          else jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)))
+    return seg, kp.astype(jnp.int32).reshape(B, 1, T)
+
+
+def _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes, seg, kpos, g,
+                              scale, window, H, use_alibi, use_segments,
                               interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, HD = q2.shape
     Dh = HD // H
     kernel = functools.partial(_bwd_kernel, scale=scale, window=window,
-                               H=H, Dh=Dh, use_alibi=use_alibi)
+                               H=H, Dh=Dh, use_alibi=use_alibi,
+                               use_segments=use_segments)
     shape = jax.ShapeDtypeStruct((B, T, HD), q2.dtype)
     return pl.pallas_call(
         kernel,
@@ -162,6 +192,8 @@ def _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes, g,
         in_specs=[
             pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # key mask
             pl.BlockSpec((1, 1, H), lambda b: (0, 0, 0)),  # alibi slopes
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # segment ids
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # key positions
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
@@ -171,11 +203,11 @@ def _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes, g,
         out_shape=[shape, shape, shape],
         interpret=interpret,
     )(key_mask.astype(jnp.int32).reshape(B, 1, T),
-      slopes.reshape(1, 1, H).astype(jnp.float32), q2, k2, v2, g)
+      slopes.reshape(1, 1, H).astype(jnp.float32), seg, kpos, q2, k2, v2, g)
 
 
 def _reference_hd(q2, k2, v2, key_mask, slopes, *, scale: float, window: int,
-                  H: int, use_alibi: bool):
+                  H: int, use_alibi: bool, segments=None, positions=None):
     """Identical math via XLA einsums (the decoder.attention recipe) — the
     custom-VJP backward and the parity oracle."""
     B, T, HD = q2.shape
@@ -193,34 +225,56 @@ def _reference_hd(q2, k2, v2, key_mask, slopes, *, scale: float, window: int,
         mask = jnp.logical_and(mask, i[None, :] > i[:, None] - window)
     mask = jnp.logical_and(mask[None, None],
                            (key_mask > 0)[:, None, None, :])
+    if segments is not None:
+        same = segments[:, :, None] == segments[:, None, :]
+        mask = jnp.logical_and(mask, same[:, None])
     if use_alibi:
+        kp = (positions if positions is not None
+              else jnp.broadcast_to(jnp.arange(T), (B, T)))
         s = s + (slopes[None, :, None, None]
-                 * jnp.arange(T, dtype=jnp.float32)[None, None, None, :])
+                 * kp.astype(jnp.float32)[:, None, None, :])
     s = jnp.where(mask, s, NEG)
     p = jax.nn.softmax(s, axis=-1).astype(q2.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
     return o.reshape(B, T, HD)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def short_attention(q2, k2, v2, key_mask, slopes,
-                    scale: float, window: int, H: int, use_alibi: bool):
+                    scale: float, window: int, H: int, use_alibi: bool,
+                    segments=None, positions=None):
     """q2/k2/v2: (B, T, H*Dh) projection outputs (post-rope, pre-head-split).
     key_mask: (B, T). slopes: (H,) fp32 (zeros when use_alibi=False).
-    Returns (B, T, H*Dh)."""
-    return _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
-                                     scale, window, H, use_alibi)
+    segments: optional (B, T) int32 — SEQUENCE PACKING: queries attend only
+    to keys of the same segment id (block-diagonal within causal; segments
+    must be contiguous spans so window offsets stay frame-correct).
+    positions: optional (B, T) int32 ALiBi key positions (restart per
+    segment when packed); defaults to arange. Returns (B, T, H*Dh)."""
+    B, T, _ = q2.shape
+    seg, kpos = _seg_kpos_blocks(key_mask, segments, positions, B, T)
+    return _short_attention_core(q2, k2, v2, key_mask, slopes, seg, kpos,
+                                 scale, window, H, use_alibi,
+                                 segments is not None)
 
 
-def _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
-                              scale, window, H, use_alibi,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _short_attention_core(q2, k2, v2, key_mask, slopes, seg, kpos,
+                          scale: float, window: int, H: int, use_alibi: bool,
+                          use_segments: bool):
+    return _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes, seg, kpos,
+                                     scale, window, H, use_alibi,
+                                     use_segments)
+
+
+def _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes, seg, kpos,
+                              scale, window, H, use_alibi, use_segments,
                               interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, HD = q2.shape
     Dh = HD // H
     kernel = functools.partial(_kernel, scale=scale, window=window,
-                               H=H, Dh=Dh, use_alibi=use_alibi)
+                               H=H, Dh=Dh, use_alibi=use_alibi,
+                               use_segments=use_segments)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -229,6 +283,8 @@ def _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
             # block dims divisible by (8, 128) OR equal to the array dims
             pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # key mask
             pl.BlockSpec((1, 1, H), lambda b: (0, 0, 0)),  # alibi slopes
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # segment ids
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),  # key positions
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0)),
@@ -237,13 +293,14 @@ def _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
         out_shape=jax.ShapeDtypeStruct((B, T, HD), q2.dtype),
         interpret=interpret,
     )(key_mask.astype(jnp.int32).reshape(B, 1, T),
-      slopes.reshape(1, 1, H).astype(jnp.float32), q2, k2, v2)
+      slopes.reshape(1, 1, H).astype(jnp.float32), seg, kpos, q2, k2, v2)
 
 
-def _fwd(q2, k2, v2, key_mask, slopes, scale, window, H, use_alibi):
-    out = _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes,
-                                    scale, window, H, use_alibi)
-    return out, (q2, k2, v2, key_mask, slopes)
+def _fwd(q2, k2, v2, key_mask, slopes, seg, kpos,
+         scale, window, H, use_alibi, use_segments):
+    out = _short_attention_fwd_impl(q2, k2, v2, key_mask, slopes, seg, kpos,
+                                    scale, window, H, use_alibi, use_segments)
+    return out, (q2, k2, v2, key_mask, slopes, seg, kpos)
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -270,21 +327,27 @@ def _bwd_fits_vmem(T: int, HD: int, itemsize: int) -> bool:
     return 11 * T * HD * itemsize + 4 * T * T * 4 <= _VMEM_BUDGET
 
 
-def _bwd(scale, window, H, use_alibi, res, g):
-    q2, k2, v2, key_mask, slopes = res
+def _bwd(scale, window, H, use_alibi, use_segments, res, g):
+    q2, k2, v2, key_mask, slopes, seg, kpos = res
     if (jax.default_backend() == "tpu"
             and _bwd_fits_vmem(q2.shape[1], q2.shape[2], q2.dtype.itemsize)):
-        dq, dk, dv = _short_attention_bwd_impl(q2, k2, v2, key_mask, slopes,
-                                               g, scale, window, H, use_alibi)
-        return dq, dk, dv, None, None
+        dq, dk, dv = _short_attention_bwd_impl(
+            q2, k2, v2, key_mask, slopes, seg, kpos, g,
+            scale, window, H, use_alibi, use_segments)
+        return dq, dk, dv, None, None, None, None
     # other backends: exact gradients through the identical-math XLA
     # reference (recompute); also the parity oracle for the kernel above
+    B, T, _ = q2.shape
+    segments = seg.reshape(B, T) if use_segments else None
+    positions = kpos.reshape(B, T)
+
     def f(q2_, k2_, v2_):
         return _reference_hd(q2_, k2_, v2_, key_mask, slopes, scale=scale,
-                             window=window, H=H, use_alibi=use_alibi)
+                             window=window, H=H, use_alibi=use_alibi,
+                             segments=segments, positions=positions)
     _, vjp = jax.vjp(f, q2, k2, v2)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None, None
 
 
-short_attention.defvjp(_fwd, _bwd)
+_short_attention_core.defvjp(_fwd, _bwd)

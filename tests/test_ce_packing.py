@@ -208,3 +208,43 @@ def test_pack_t_validation():
     with pytest.raises(ValueError, match="pack_t"):
         CrossEncoderRanker(params, cfg, tok,
                            pack_t=cfg.max_position_embeddings + 1)
+
+
+# ---------------------------------------------------------------------------
+# round-5: packed rows keep the fused Pallas kernel (segment masks in-kernel)
+# ---------------------------------------------------------------------------
+
+def test_ranker_pack_t_fused_kernel_equality():
+    """pack_t inside the fused window (160 <= T <= 512): packed rows now ride
+    the Pallas short-attention kernel with block-diagonal segment masks —
+    scores must equal the XLA path's exactly."""
+    cfg = tiny("gptj", vocab_size=512, max_position_embeddings=256)
+    params = init_params(cfg, jax.random.key(7))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    pairs = _ragged_pairs(12)
+    base = CrossEncoderRanker(params, cfg, tok, batch_size=4,
+                              max_length=192, pack_t=192)
+    fused = CrossEncoderRanker(params, cfg.replace(fused_attention=True), tok,
+                               batch_size=4, max_length=192, pack_t=192)
+    np.testing.assert_allclose(fused.predict(pairs), base.predict(pairs),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_ranker_pack_t_mesh_dp_fused():
+    """Pure-dp mesh + fused kernel: the packed scorer must route through the
+    dp shard_map wrapper (pallas_call has no GSPMD partitioning rule), and
+    sharded packed scores == single-device packed scores."""
+    devs = np.array(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devs, ("dp", "tp"))
+    cfg = tiny("gptj", vocab_size=512,
+               max_position_embeddings=256).replace(fused_attention=True)
+    params = init_params(cfg, jax.random.key(8))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    pairs = _ragged_pairs(16)
+    single = CrossEncoderRanker(params, cfg, tok, batch_size=4,
+                                max_length=192, pack_t=192)
+    sharded = CrossEncoderRanker(params, cfg, tok, batch_size=4,
+                                 max_length=192, pack_t=192, mesh=mesh)
+    np.testing.assert_allclose(sharded.predict(pairs), single.predict(pairs),
+                               rtol=2e-4, atol=1e-4)
+    assert sharded._packed_mesh_fns  # the shard_map wrapper actually ran

@@ -147,8 +147,10 @@ def test_pallas_backward_kernel_matches_reference_vjp():
 
         _, vjp = jax.vjp(f, q2, k2, v2)
         want = vjp(g)
-        got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, g,
-                                        scale, window, H, alibi,
+        from sgpt_tpu.ops.pallas.short_attention import _seg_kpos_blocks
+        seg, kp = _seg_kpos_blocks(km, None, None, B, T)
+        got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, seg, kp, g,
+                                        scale, window, H, alibi, False,
                                         interpret=True)
         for gw, gg in zip(want, got):
             np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
@@ -179,10 +181,158 @@ def test_pallas_backward_fully_masked_rows():
 
     _, vjp = jax.vjp(f, q2, k2, v2)
     want = vjp(g)
-    got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, g,
-                                    1.0, window, H, False, interpret=True)
+    from sgpt_tpu.ops.pallas.short_attention import _seg_kpos_blocks
+    seg, kp = _seg_kpos_blocks(km, None, None, B, T)
+    got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, seg, kp, g,
+                                    1.0, window, H, False, False,
+                                    interpret=True)
     for gw, gg in zip(want, got):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    atol=2e-5, rtol=1e-4)
     # and dq at the fully-masked rows is exactly zero
     assert np.abs(np.asarray(got[0])[1, 46:]).max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-5: block-diagonal segment masks in the fused kernel (CE packing)
+# ---------------------------------------------------------------------------
+
+def _packed_fixture(rng, B, T, H, Dh, n_seg=3):
+    """Rows split into contiguous segments with a padded tail."""
+    seg = np.zeros((B, T), np.int32)
+    km = np.ones((B, T), np.int32)
+    bounds = sorted(rng.choice(np.arange(4, T - 4), size=n_seg - 1,
+                               replace=False))
+    for i, b in enumerate(bounds):
+        seg[:, b:] = i + 1
+    km[:, T - 6:] = 0                         # padded tail
+    pos = np.zeros((B, T), np.int32)
+    prev = 0
+    for b in list(bounds) + [T]:
+        pos[:, prev:b] = np.arange(b - prev)
+        prev = b
+    q2, k2, v2 = (jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+                  for _ in range(3))
+    return (jnp.asarray(seg), jnp.asarray(km), jnp.asarray(pos), q2, k2, v2)
+
+
+@pytest.mark.parametrize("alibi", [False, True])
+def test_fused_kernel_segment_mask_matches_reference(alibi):
+    rng = np.random.default_rng(5)
+    B, T, H, Dh = 2, 48, 4, 16
+    seg, km, pos, q2, k2, v2 = _packed_fixture(rng, B, T, H, Dh)
+    slopes = (jnp.asarray(rng.random(H), jnp.float32) if alibi
+              else jnp.zeros((H,), jnp.float32))
+    got = short_attention(q2, k2, v2, km, slopes, 0.25, 0, H, alibi,
+                          segments=seg, positions=pos if alibi else None)
+    want = _reference_hd(q2, k2, v2, km, slopes, scale=0.25, window=0, H=H,
+                         use_alibi=alibi, segments=seg,
+                         positions=pos if alibi else None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_kernel_segment_equals_standalone_rows():
+    """Two texts packed into one row == the same texts in separate rows."""
+    rng = np.random.default_rng(6)
+    H, Dh = 2, 16
+    Ta, Tb = 20, 12
+    qa, ka, va = (jnp.asarray(rng.normal(size=(1, Ta, H * Dh)), jnp.float32)
+                  for _ in range(3))
+    qb, kb, vb = (jnp.asarray(rng.normal(size=(1, Tb, H * Dh)), jnp.float32)
+                  for _ in range(3))
+    # standalone
+    oa = short_attention(qa, ka, va, jnp.ones((1, Ta), jnp.int32),
+                         jnp.zeros((H,), jnp.float32), 1.0, 0, H, False)
+    ob = short_attention(qb, kb, vb, jnp.ones((1, Tb), jnp.int32),
+                         jnp.zeros((H,), jnp.float32), 1.0, 0, H, False)
+    # packed into one row
+    T = Ta + Tb
+    qp = jnp.concatenate([qa, qb], axis=1)
+    kp = jnp.concatenate([ka, kb], axis=1)
+    vp = jnp.concatenate([va, vb], axis=1)
+    seg = jnp.asarray(np.r_[np.zeros(Ta), np.ones(Tb)][None].astype(np.int32))
+    km = jnp.ones((1, T), jnp.int32)
+    op = short_attention(qp, kp, vp, km, jnp.zeros((H,), jnp.float32),
+                         1.0, 0, H, False, segments=seg)
+    np.testing.assert_allclose(np.asarray(op[:, :Ta]), np.asarray(oa),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(op[:, Ta:]), np.asarray(ob),
+                               atol=1e-5)
+
+
+def test_fused_segment_gradients_match_reference():
+    """Packed custom-VJP (Pallas backward in interpret mode on CPU) ==
+    differentiating the XLA reference with the same block-diagonal mask."""
+    from sgpt_tpu.ops.pallas.short_attention import (_seg_kpos_blocks,
+                                                     _short_attention_bwd_impl)
+    rng = np.random.default_rng(7)
+    B, T, H, Dh = 2, 40, 2, 16
+    seg, km, pos, q2, k2, v2 = _packed_fixture(rng, B, T, H, Dh)
+    g = jnp.asarray(rng.normal(size=(B, T, H * Dh)), jnp.float32)
+    slopes = jnp.zeros((H,), jnp.float32)
+
+    def f(q2_, k2_, v2_):
+        return _reference_hd(q2_, k2_, v2_, km, slopes, scale=0.5, window=0,
+                             H=H, use_alibi=False, segments=seg)
+
+    _, vjp = jax.vjp(f, q2, k2, v2)
+    want = vjp(g)
+    sb, kb = _seg_kpos_blocks(km, seg, pos, B, T)
+    got = _short_attention_bwd_impl(q2, k2, v2, km, slopes, sb, kb, g,
+                                    0.5, 0, H, False, True, interpret=True)
+    for gw, gg in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_decoder_packed_rows_keep_fused_path():
+    """Full decoder: packed forward with fused_attention == the XLA path
+    (and both == each segment encoded standalone, via the existing
+    test_ce_packing decoder-level equality — here we pin fused==XLA)."""
+    cfg = tiny("neo", num_layers=2, hidden_size=64, num_heads=4,
+               max_position_embeddings=256)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(8)
+    B, T = 2, 176                      # inside the fused window
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    seg = np.zeros((B, T), np.int32)
+    seg[:, 90:] = 1
+    pos = np.concatenate([np.arange(90), np.arange(T - 90)])[None].repeat(
+        B, axis=0).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[1, 168:] = 0
+    seg, pos, mask = jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(mask)
+
+    want = np.asarray(forward(params, ids, mask, cfg,
+                              segment_ids=seg, position_ids=pos))
+    got = np.asarray(forward(params, ids, mask,
+                             cfg.replace(fused_attention=True),
+                             segment_ids=seg, position_ids=pos))
+    m = np.asarray(mask)[:, :, None]
+    assert (np.abs(got - want) * m).max() < 2e-4
+
+
+def test_decoder_packed_fused_alibi_matches_xla():
+    """BLOOM family packed: the kernel's per-segment ALiBi key positions must
+    match the XLA path's position-aware alibi bias."""
+    cfg = tiny("bloom", num_layers=2, hidden_size=64, num_heads=4,
+               max_position_embeddings=256)
+    params = init_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(9)
+    B, T = 2, 176
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    seg = np.zeros((B, T), np.int32)
+    seg[:, 100:] = 1
+    pos = np.concatenate([np.arange(100), np.arange(T - 100)])[None].repeat(
+        B, axis=0).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[0, 170:] = 0
+    seg, pos, mask = jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(mask)
+
+    want = np.asarray(forward(params, ids, mask, cfg,
+                              segment_ids=seg, position_ids=pos))
+    got = np.asarray(forward(params, ids, mask,
+                             cfg.replace(fused_attention=True),
+                             segment_ids=seg, position_ids=pos))
+    m = np.asarray(mask)[:, :, None]
+    assert (np.abs(got - want) * m).max() < 2e-4
