@@ -24,13 +24,20 @@ of the result checksum — remote-execution layers can neither memoize repeated
 identical dispatches nor acknowledge before the chain completes. The model
 rate is best-of-3 reps (the shared dev tile swings ±10% run to run).
 
-MFU denominator: a dense bf16 matmul peak measured ON THIS DEVICE at the same
-sitting — a DEPENDENT 8192³ chain (each product feeds the next matmul, so no
-elementwise/reduce traffic dilutes the rate), 16 matmuls per dispatch to
-amortize the ~30ms relay dispatch latency, best-of-3, sampled before AND
-after the model reps (max of all samples; ~139 TF/s observed, ~70% of a full
-v5e's 197 TF/s spec). Model FLOPs are counted causally (useful work), so mfu
-is achieved useful FLOP/s over what the tile demonstrably can do.
+MFU denominator: the max dense bf16 matmul rate demonstrated ON THIS DEVICE
+at the same sitting, over TWO harnesses (r5 reconciliation —
+tools/bench_peak_survey.py measured all candidates interleaved): a DEPENDENT
+8192³ chain (119-138 TF/s) and a MODEL-SHAPED projection chain — the 6B
+q/k/v/o/up/down matmul sequence at (M=9728, D=4096, F=16384) with
+independent per-step operands — which runs at 178.5-179.7 TF/s, ~91% of a
+full v5e's 197 TF/s spec and stable within 1% across rounds. The dependent
+square chain UNDERSTATES the device peak ~23% (step serialization + two
+134 MB HBM round-trips per step); the earlier MFU 0.85-0.88 rows derived
+from it were correspondingly inflated, and GPT-J-6B's measured 160.7 TF/s
+encode — "impossible" against the old 139 denominator — is simply a
+~0.9-MFU forward against the real one. Model FLOPs are counted causally
+(useful work), so mfu is achieved useful FLOP/s over what the tile
+demonstrably can do.
 
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6). The
 denominator is a computed reference point for the reference implementation on
@@ -61,7 +68,11 @@ def model_flops_per_seq(cfg, T: int) -> float:
 
 
 def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
-    """Dense bf16 matmul rate this device achieves right now (MFU denominator)."""
+    """Dense bf16 matmul rate this device achieves right now (MFU denominator).
+
+    Max over TWO harnesses (see module docstring / tools/bench_peak_survey.py):
+    the dependent square chain (kept for continuity with r2-r4 numbers) and
+    the model-shaped projection chain that demonstrates the true peak."""
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +89,36 @@ def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
         c, _ = jax.lax.scan(step, a, None, length=iters)
         return jnp.sum(c.astype(jnp.float32))
 
+    # model-shaped: the 6B projection sequence (q/k/v/o at D=4096 + up/down
+    # at F=16384, M = 32*304 activation rows), independent operands per
+    # layer step, matvec epilogue (needs every output element; 2MN FLOPs,
+    # ~1/4096 of the matmul). Weights stream once per step while the
+    # activation tile stays hot — the regime real forwards run in, and the
+    # highest-rate harness of the r5 survey (178-180 TF/s vs the square
+    # chain's 119-138 on the same sitting).
+    M, D, F, L = 32 * 304, 4096, 16384, 28
+    x = jax.random.normal(jax.random.key(2), (M, D), jnp.bfloat16)
+    wq = jax.random.normal(jax.random.key(3), (4, D, D), jnp.bfloat16)
+    wu = jax.random.normal(jax.random.key(4), (D, F), jnp.bfloat16)
+    wd = jax.random.normal(jax.random.key(5), (F, D), jnp.bfloat16)
+    onesd = jnp.ones((D,), jnp.bfloat16)
+    flops_model = (2 * M * D * D * 4 + 2 * M * D * F * 2) * L
+
+    @jax.jit
+    def model_chain(x, wq, wu, wd):
+        def step(acc, i):
+            xi = x * (1 + i / 256).astype(jnp.bfloat16)
+            s = jnp.float32(0)
+            for j in range(4):
+                s = s + jnp.sum((xi @ wq[j] @ onesd).astype(jnp.float32))
+            h = xi @ wu
+            return acc + s + jnp.sum((h @ wd @ onesd).astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0),
+                              jnp.arange(L, dtype=jnp.float32))
+        return acc
+
     float(chain(a, b))  # compile + warm
+    float(model_chain(x, wq, wu, wd))
     best = 0.0
     for rep in range(3):  # the shared tile's rate swings ±10% run to run
         # vary the operand per rep (same anti-memoization rule as the model
@@ -91,6 +131,11 @@ def measure_tile_peak_tflops(size: int = 8192, iters: int = 16) -> float:
         dt = time.perf_counter() - t0
         assert np.isfinite(checksum)
         best = max(best, 2.0 * size ** 3 * iters / dt / 1e12)
+        t0 = time.perf_counter()
+        checksum = float(model_chain(x * jnp.bfloat16(1 + rep / 128), wq, wu, wd))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        best = max(best, flops_model / dt / 1e12)
     return best
 
 

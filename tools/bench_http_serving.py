@@ -130,6 +130,24 @@ def measure_endpoint(name, addr, make_request, clients, n_queries):
     return rows
 
 
+def measure_inprocess(service, name: str, call, n: int):
+    """Single-stream latency of the SERVICE API driven directly — no HTTP,
+    no relay-side JSON, no socket: the production-dispatch number the HTTP
+    tables extrapolate ('~2x40 ms relay RPC + ~30 ms real work',
+    docs/PERF.md). Unique query text per call (cache-proof)."""
+    lat = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        call(i)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    row = {"mode": "in-process", "requests": n,
+           "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+           "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1)}
+    print(json.dumps({"endpoint": name, **row}), file=sys.stderr)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=1_000_000)
@@ -147,6 +165,10 @@ def main():
                     help="override --clients for the rerank endpoint "
                     "(CE pairs are ~first_k x heavier than a search)")
     ap.add_argument("--maxseqlen", type=int, default=64)
+    ap.add_argument("--inprocess", action="store_true",
+                    help="also measure single-stream service.search/rerank "
+                    "latency driven in-process (no HTTP/relay-side JSON) — "
+                    "the production-dispatch row")
     args = ap.parse_args()
     endpoints = args.endpoints.split(",")
     clients = [int(x) for x in args.clients.split(",")]
@@ -171,8 +193,7 @@ def main():
           f"({args.quantize_index or 'bf16'}) ...", file=sys.stderr)
     if args.index == "ivf":
         from sgpt_tpu.index_ivf import IVFIndex
-        n_clusters = max(64, 1 << int(np.log2(args.ndocs / 600) + 0.5))
-        index = IVFIndex(engine.out_dim, n_clusters=n_clusters,
+        index = IVFIndex(engine.out_dim, n_clusters="auto",
                          nprobe=args.nprobe, normalize_embeddings=True,
                          quantize=args.quantize_index)
     else:
@@ -239,6 +260,25 @@ def main():
             "rerank", addr,
             make_rerank(args.k, args.rerank_first_k), r_clients,
             max(4, args.queries_per_client // 4))
+    if args.inprocess:
+        rng_i = random.Random(4242)
+        nq = args.queries_per_client * 2
+        ip = {}
+        ip["search"] = measure_inprocess(
+            service, "inprocess-search",
+            lambda i: service.search(
+                [_query_text(rng_i) + f" ip{i}"], k=args.k), nq)
+        ip["embed"] = measure_inprocess(
+            service, "inprocess-embed",
+            lambda i: service.embed(
+                [_query_text(rng_i) + f" ipe{i}"], is_query=True), nq)
+        if "rerank" in endpoints:
+            ip["rerank"] = measure_inprocess(
+                service, "inprocess-rerank",
+                lambda i: service.rerank(
+                    [_query_text(rng_i) + f" ipr{i}"], k=args.k,
+                    first_k=args.rerank_first_k), max(8, nq // 4))
+        out["inprocess"] = ip
     st = service.stats()
     out["embed_dispatches"] = st["embed_dispatches"]
     out["embed_items"] = st["embed_items"]
