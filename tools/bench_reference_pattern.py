@@ -66,6 +66,12 @@ def main():
                     choices=sorted(DEFAULT_BATCH))
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="additionally report the int8 ours row")
+    ap.add_argument("--engine", action="store_true",
+                    help="additionally time OUR REAL ENGINE PATH "
+                    "(EmbeddingEngine: tokenize-once + token-budget "
+                    "bucketing + fused pool) on the same ragged docs — the "
+                    "end-to-end multiple as ONE measurement instead of "
+                    "pattern-ratio x batching-ratio arithmetic")
     args = ap.parse_args()
     args.batch = args.batch or DEFAULT_BATCH[args.model]
     args.docs = args.docs or 4 * args.batch
@@ -97,8 +103,9 @@ def main():
     # batch longest (exactly the reference's batching for BOTH patterns)
     rng = np.random.default_rng(0)
     lens = np.clip(rng.lognormal(4.3, 0.8, args.docs).astype(int), 10, 280)
-    rows = [tok.encode(" ".join(f"w{rng.integers(50000)}" for _ in range(n)))
-            [: args.maxseq] for n in lens]
+    texts = [" ".join(f"w{rng.integers(50000)}" for _ in range(n))
+             for n in lens]
+    rows = [tok.encode(t)[: args.maxseq] for t in texts]
     order = sorted(range(len(rows)), key=lambda i: -len(rows[i]))
     batches = []
     for s in range(0, len(order), args.batch):
@@ -185,6 +192,26 @@ def main():
     t_ref_pcie = t_ref_dev + t_d2h_pcie + t_pool
     t_ref_pcie_strong = t_ref_dev + t_d2h_pcie + t_pool / 8  # multicore host
 
+    # optional: OUR REAL ENGINE on the same ragged docs (tokenize-once +
+    # token-budget buckets + fused pool + fetch pipeline) — end-to-end, so
+    # the batching advantage is measured, not multiplied in. Warm pass
+    # compiles every bucket; timed pass uses fresh words with the identical
+    # length multiset (same buckets, anti-memoization).
+    t_engine = None
+    if args.engine:
+        from sgpt_tpu.encoder import EmbeddingEngine
+        engine = EmbeddingEngine(params, cfg, tok, method="weightedmean",
+                                 max_seq_len=args.maxseq,
+                                 batch_size=args.batch,
+                                 normalize_embeddings=True)
+        texts2 = [" ".join(f"v{rng.integers(50000)}" for _ in range(n))
+                  for n in lens]
+        engine.encode(texts)                       # warm + compile buckets
+        t0 = time.perf_counter()
+        out_e = engine.encode(texts2)
+        t_engine = time.perf_counter() - t0
+        assert np.isfinite(out_e).all()
+
     # optional: the int8 serving row for ours (quantize the SAME tree in
     # place, bf16 kernels freed as int8 copies land — the one-chip recipe)
     t_ours_int8 = None
@@ -205,6 +232,11 @@ def main():
     print(json.dumps({
         "model": args.model,
         "ours_emb_s": round(args.docs / t_ours_dev, 1),
+        **({"engine_emb_s": round(args.docs / t_engine, 1),
+            "ratio_e2e_vs_pcie_strong_host":
+                round(t_ref_pcie_strong / t_engine, 2),
+            "ratio_e2e_vs_pcie_1core": round(t_ref_pcie / t_engine, 2)}
+           if t_engine else {}),
         **({"ours_int8_emb_s": round(args.docs / t_ours_int8, 1),
             "ratio_int8_vs_pcie_strong_host":
                 round(t_ref_pcie_strong / t_ours_int8, 2)}
