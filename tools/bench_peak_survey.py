@@ -19,6 +19,14 @@ This harness times, interleaved in ONE process (3 rounds, max per method):
              4096/16384) scan over 28 layers' q/k/v/o/up/down matmuls with
              independent operands per layer. This is the shape family the
              flagship number comes from.
+  model125m: the same chain at the 125M encode's shapes — (512*304, 768) @
+             (768, 768/3072), 12 layers. Answers how much of the 125M
+             encode's MFU gap (0.65 vs the 6B-shaped 180 TF/s peak) is
+             intrinsic to D=768 matmul geometry vs left on the table by
+             the forward: the encode's achieved TF/s should be read
+             against THIS ceiling for shape-bound utilization. (bench.py's
+             MFU denominator stays max(dep8192, model6b) — one documented
+             device peak, not per-row shape shopping.)
 
 plus `python tools/bench_6b.py`'s exact embed_many for GPT-J (optional:
 --with-6b, needs ~11 GB HBM) so the 6B TF/s and its denominator share the
@@ -102,6 +110,29 @@ def main():
                               jnp.arange(L6, dtype=jnp.float32))
         return acc
 
+    # 125M projection shapes at the bench.py geometry: B=512, T=304
+    M1, D1, F1, L1 = 512 * 304, 768, 3072, 12
+    x1 = jax.random.normal(jax.random.key(6), (M1, D1), jnp.bfloat16)
+    wq1 = jax.random.normal(jax.random.key(7), (4, D1, D1), jnp.bfloat16)
+    wu1 = jax.random.normal(jax.random.key(8), (D1, F1), jnp.bfloat16)
+    wd1 = jax.random.normal(jax.random.key(9), (F1, D1), jnp.bfloat16)
+    onesd1 = jnp.ones((D1,), jnp.bfloat16)
+    flops_125m_layer = 2 * M1 * D1 * D1 * 4 + 2 * M1 * D1 * F1 * 2
+
+    @jax.jit
+    def model125m(x, wq, wu, wd):
+        def step(acc, i):
+            xi = x * (1 + i / 256).astype(jnp.bfloat16)
+            s = jnp.float32(0)
+            for j in range(4):
+                s = s + jnp.sum((xi @ wq[j] @ onesd1).astype(jnp.float32))
+            h = xi @ wu
+            s = s + jnp.sum((h @ wd @ onesd1).astype(jnp.float32))
+            return acc + s, None
+        acc, _ = jax.lax.scan(step, jnp.float32(0),
+                              jnp.arange(L1, dtype=jnp.float32))
+        return acc
+
     def timed(name, fn, ops, *xs):
         float(fn(*xs))  # compile + warm (first measurement discarded)
         t0 = time.perf_counter()
@@ -112,18 +143,21 @@ def main():
 
     print("backend up; measuring", file=sys.stderr, flush=True)
     flops_sq = 2.0 * N**3 * K
-    rows = {"dep8192": [], "indep8192": [], "model6b": []}
+    rows = {"dep8192": [], "indep8192": [], "model6b": [], "model125m": []}
     for _ in range(args.rounds):
         rows["dep8192"].append(timed("dep8192", dep, flops_sq, a, b))
         rows["indep8192"].append(timed("indep8192", indep, flops_sq, a, b))
         rows["model6b"].append(timed("model6b", model6b,
                                      flops_6b_layer * L6, x, wq, wu, wd))
+        rows["model125m"].append(timed("model125m", model125m,
+                                       flops_125m_layer * L1,
+                                       x1, wq1, wu1, wd1))
     out = {k: {"max": round(max(v), 1),
                "all": [round(x, 1) for x in v]} for k, v in rows.items()}
     print(json.dumps(out), flush=True)
 
     if args.with_6b:
-        del a, b, x, wq, wu, wd
+        del a, b, x, wq, wu, wd, x1, wq1, wu1, wd1
         import gc
         gc.collect()
         from bench_6b import bench  # same-dir import when run as a script
