@@ -100,6 +100,24 @@ def _embed_step(params, heads, input_ids, mask, learned_weights,
     return emb
 
 
+@partial(jax.jit, static_argnames=("cfg", "method", "layeridx", "do_normalize",
+                                   "has_learned_weights", "pre_acts",
+                                   "post_acts"))
+def _embed_chain_step(params, heads, ids_stack, mask_stack, learned_weights,
+                      cfg: DecoderConfig, method: str, layeridx: int,
+                      do_normalize: bool, has_learned_weights: bool,
+                      pre_acts: tuple = (), post_acts: tuple = ()):
+    """k same-shape batches in ONE dispatch (EmbeddingEngine dispatch_chain):
+    lax.map runs _embed_step's exact math per (ids, mask) slice — one compile
+    per (k, B, T) shape, one host round-trip per k batches instead of k.
+    Same pattern as bench.py's 8-batches-per-dispatch loop."""
+    def one(im):
+        return _embed_step.__wrapped__(
+            params, heads, im[0], im[1], learned_weights, cfg, method,
+            layeridx, do_normalize, has_learned_weights, pre_acts, post_acts)
+    return jax.lax.map(one, (ids_stack, mask_stack))
+
+
 def _pool_single(hidden, mask, method, learned_weights, has_learned_weights):
     if method == "learned_weightedmean" or (has_learned_weights and method == "weightedmean"):
         return learned_weighted_mean_pool(hidden, mask, learned_weights)
@@ -129,6 +147,7 @@ class EmbeddingEngine:
         fused_attention: Optional[bool] = None,
         quantize: Optional[str] = None,
         text_prefix: str = "",
+        dispatch_chain: int = 8,
     ):
         """mesh: data-parallel encode (batch shards over dp). sp_mesh:
         SEQUENCE-parallel encode — ring attention over the mesh axis for docs
@@ -148,7 +167,15 @@ class EmbeddingEngine:
         The caller's float tree is left intact (the quantizer copies); for
         ~6B trees whose float+int8 copies exceed HBM together, pre-quantize
         with `quantize_decoder_params(params, free_source=True)` and pass
-        the result here with quantize=None (what the CLIs do)."""
+        the result here with quantize=None (what the CLIs do).
+
+        dispatch_chain: bulk-encode dispatch batching — up to this many
+        consecutive SAME-shape (batch, bucket) batches run in ONE jit
+        (lax.map), saving (k-1) dispatch round-trips and fetching one
+        stacked array per chain. Only FULL chains use the chained compile
+        (partial groups dispatch singly), so each bucket costs at most two
+        compiled shapes. Single-device path only; dp/sp meshes dispatch per
+        batch. 1 disables."""
         if mesh is not None and sp_mesh is not None:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
@@ -175,6 +202,7 @@ class EmbeddingEngine:
         self.method = method
         self.layeridx = layeridx
         self.batch_size = batch_size
+        self.dispatch_chain = max(1, int(dispatch_chain))
         self.normalize = normalize_embeddings
         self.learned_weights = (learned_weights if learned_weights is not None
                                 else jnp.zeros((0,), jnp.float32))
@@ -264,6 +292,15 @@ class EmbeddingEngine:
                            tuple(self.pre_acts), tuple(self.post_acts),
                            sp_mesh=self.sp_mesh, tp_mesh=self._tp_mesh)
 
+    def _embed_many(self, ids_stack, mask_stack):
+        """Chained bulk dispatch: (k, B, T) stacks of same-shape batches →
+        (k, B, D) embeddings in one jit (see dispatch_chain)."""
+        return _embed_chain_step(self.params, self.heads, ids_stack,
+                                 mask_stack, self.learned_weights, self.cfg,
+                                 self.method, self.layeridx, self.normalize,
+                                 self.has_learned_weights,
+                                 tuple(self.pre_acts), tuple(self.post_acts))
+
     def _rows_for_bucket(self, T: int) -> int:
         """Rows per dispatch for length bucket T (token-budget batching).
 
@@ -330,12 +367,39 @@ class EmbeddingEngine:
         # depth-2 fetch pipeline: jit dispatch is async, so deferring each
         # batch's D2H by one step lets host tokenize/pad batch i+1 and the
         # relay's per-fetch RPC (~30 ms measured) overlap batch i's compute
-        # instead of serializing dispatch -> compute -> fetch per batch
+        # instead of serializing dispatch -> compute -> fetch per batch.
+        # Each pending entry is (list_of_sels, (B,D) or (k,B,D) device array)
+        # — a chained dispatch fetches its whole stack in ONE D2H.
         pending: list = []
 
         def drain():
-            psel, pemb = pending.pop(0)
-            out[psel] = np.asarray(pemb[: len(psel)], np.float32)
+            psels, pemb = pending.pop(0)
+            arr = np.asarray(pemb, np.float32)
+            if arr.ndim == 2:
+                arr = arr[None]
+            for j, psel in enumerate(psels):
+                out[psel] = arr[j, : len(psel)]
+
+        # dispatch chaining (bulk single-device path): buffer consecutive
+        # same-shape batches, run FULL groups of dispatch_chain in one jit
+        chain = (self.dispatch_chain
+                 if self.mesh is None and self.sp_mesh is None else 1)
+        g_ids: list = []
+        g_masks: list = []
+        g_sels: list = []
+
+        def flush_group():
+            if not g_ids:
+                return
+            if len(g_ids) == chain and chain > 1:
+                embs = self._embed_many(jnp.stack(g_ids), jnp.stack(g_masks))
+                pending.append((list(g_sels), embs))
+            else:  # partial group: single dispatches (bounds compiles at
+                   # two shapes per bucket — (B,T) and (chain,B,T))
+                for gi in range(len(g_ids)):
+                    pending.append(([g_sels[gi]],
+                                    self._embed(g_ids[gi], g_masks[gi])))
+            g_ids.clear(), g_masks.clear(), g_sels.clear()
 
         s = 0
         while s < len(order):
@@ -365,10 +429,19 @@ class EmbeddingEngine:
             if self.mesh is not None:
                 ids_j = jax.device_put(ids_j, self._data_sharding)
                 mask_j = jax.device_put(mask_j, self._data_sharding)
-            emb = self._embed(ids_j, mask_j)
-            pending.append((sel, emb))
-            if len(pending) >= FETCH_PIPELINE_DEPTH:
+            if chain > 1:
+                if g_ids and g_ids[0].shape != ids_j.shape:
+                    flush_group()
+                g_ids.append(ids_j)
+                g_masks.append(mask_j)
+                g_sels.append(sel)
+                if len(g_ids) == chain:
+                    flush_group()
+            else:
+                pending.append(([sel], self._embed(ids_j, mask_j)))
+            while len(pending) >= FETCH_PIPELINE_DEPTH:
                 drain()
+        flush_group()
         while pending:
             drain()
         self._cache_store(texts, is_query, out)

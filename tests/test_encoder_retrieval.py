@@ -171,3 +171,22 @@ def test_encode_token_budget_batching_matches_single():
     for i, t in enumerate(texts):
         single = eng.encode([t])
         np.testing.assert_allclose(batched[i], single[0], atol=2e-5)
+
+
+def test_dispatch_chain_equality():
+    """Chained bulk dispatch (dispatch_chain>1: k same-shape batches through
+    ONE lax.map jit, encoder._embed_chain_step) must reproduce per-batch
+    dispatch exactly — full chains, the partial-group single-dispatch tail,
+    and bucket-shape changes mid-stream all covered by a ragged mix."""
+    cfg = tiny("neo")
+    params = init_params(cfg, jax.random.key(0))
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{rng.integers(1000)}" for _ in range(int(n)))
+             for n in np.clip(rng.lognormal(2.5, 0.7, 90), 2, 60)]
+    kw = dict(batch_size=4, normalize_embeddings=True, max_seq_len=64)
+    single = EmbeddingEngine(params, cfg, tok, dispatch_chain=1,
+                             **kw).encode(texts)
+    chained = EmbeddingEngine(params, cfg, tok, dispatch_chain=3,
+                              **kw).encode(texts)
+    assert np.allclose(chained, single, atol=2e-6)
