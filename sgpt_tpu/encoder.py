@@ -118,6 +118,35 @@ def _embed_chain_step(params, heads, ids_stack, mask_stack, learned_weights,
     return jax.lax.map(one, (ids_stack, mask_stack))
 
 
+def _chain_group_sizes(shapes: Sequence[tuple], chain: int) -> list:
+    """Plan dispatch-chain grouping over a batch stream of known shapes.
+
+    Returns sizes[i] = size of the chain group STARTING at batch i (0 for
+    continuation members). Each maximal run of same-shape batches is
+    decomposed greedily into descending power-of-two groups capped at the
+    largest power of two <= chain (n=13, chain=8 -> 8+4+1), so compiles
+    stay bounded at log2(chain)+1 shapes per bucket while runs shorter
+    than the full chain still coalesce."""
+    cap = 1
+    while cap * 2 <= max(1, chain):
+        cap *= 2
+    sizes = [0] * len(shapes)
+    i = 0
+    while i < len(shapes):
+        j = i
+        while j < len(shapes) and shapes[j] == shapes[i]:
+            j += 1
+        n, p, g = j - i, i, cap
+        while n:
+            while g > n:
+                g //= 2
+            sizes[p] = g
+            p += g
+            n -= g
+        i = j
+    return sizes
+
+
 def _pool_single(hidden, mask, method, learned_weights, has_learned_weights):
     if method == "learned_weightedmean" or (has_learned_weights and method == "weightedmean"):
         return learned_weighted_mean_pool(hidden, mask, learned_weights)
@@ -169,13 +198,16 @@ class EmbeddingEngine:
         with `quantize_decoder_params(params, free_source=True)` and pass
         the result here with quantize=None (what the CLIs do).
 
-        dispatch_chain: bulk-encode dispatch batching — up to this many
-        consecutive SAME-shape (batch, bucket) batches run in ONE jit
-        (lax.map), saving (k-1) dispatch round-trips and fetching one
-        stacked array per chain. Only FULL chains use the chained compile
-        (partial groups dispatch singly), so each bucket costs at most two
-        compiled shapes. Single-device path only; dp/sp meshes dispatch per
-        batch. 1 disables."""
+        dispatch_chain: bulk-encode dispatch batching — consecutive
+        SAME-shape (batch, bucket) batches run in ONE jit (lax.map),
+        saving (g-1) dispatch round-trips and fetching one stacked array
+        per group. The grouping is PLANNED from the sorted lengths before
+        any dispatch: each same-shape run splits into descending
+        power-of-two groups capped at dispatch_chain (13 batches ->
+        8+4+1), so compiles stay bounded at log2(chain)+1 shapes per
+        bucket and lone batches dispatch immediately with zero buffering
+        delay. Single-device path only; dp/sp meshes dispatch per batch.
+        1 disables."""
         if mesh is not None and sp_mesh is not None:
             raise ValueError("pass either mesh (dp encode) or sp_mesh "
                              "(sequence-parallel long-context encode), not both")
@@ -380,27 +412,17 @@ class EmbeddingEngine:
             for j, psel in enumerate(psels):
                 out[psel] = arr[j, : len(psel)]
 
-        # dispatch chaining (bulk single-device path): buffer consecutive
-        # same-shape batches, run FULL groups of dispatch_chain in one jit
+        # dispatch chaining (bulk single-device path): the batch stream's
+        # shapes are a pure function of the sorted lengths, so PLAN the
+        # grouping before dispatching anything — maximal same-shape runs
+        # decompose into descending power-of-two chain groups
+        # (_chain_group_sizes). Singles dispatch immediately (zero buffering
+        # delay when a bucket holds one batch — the common case for small
+        # corpora under token-budget row sizing); larger groups run as ONE
+        # lax.map jit, saving (g-1) dispatch round-trips each.
         chain = (self.dispatch_chain
                  if self.mesh is None and self.sp_mesh is None else 1)
-        g_ids: list = []
-        g_masks: list = []
-        g_sels: list = []
-
-        def flush_group():
-            if not g_ids:
-                return
-            if len(g_ids) == chain and chain > 1:
-                embs = self._embed_many(jnp.stack(g_ids), jnp.stack(g_masks))
-                pending.append((list(g_sels), embs))
-            else:  # partial group: single dispatches (bounds compiles at
-                   # two shapes per bucket — (B,T) and (chain,B,T))
-                for gi in range(len(g_ids)):
-                    pending.append(([g_sels[gi]],
-                                    self._embed(g_ids[gi], g_masks[gi])))
-            g_ids.clear(), g_masks.clear(), g_sels.clear()
-
+        batches: list = []  # (sel, T) per dispatch, in stream order
         s = 0
         while s < len(order):
             T = pick_bucket(max(1, len(rows[order[s]])), self.codec.buckets,
@@ -409,6 +431,16 @@ class EmbeddingEngine:
             B = self._rows_for_bucket(T)
             sel = order[s : s + B]
             s += len(sel)
+            batches.append((sel, T, B))
+        group_sizes = _chain_group_sizes([(B, T) for _, T, B in batches],
+                                         chain)
+
+        g_ids: list = []
+        g_masks: list = []
+        g_sels: list = []
+        g_target = 1
+
+        for bi, (sel, T, B) in enumerate(batches):
             enc = self.codec.pad_rows([rows[i] for i in sel], pad_to=T)
             ids, mask = enc.input_ids, enc.attention_mask
             if self.sp_mesh is not None:
@@ -429,19 +461,21 @@ class EmbeddingEngine:
             if self.mesh is not None:
                 ids_j = jax.device_put(ids_j, self._data_sharding)
                 mask_j = jax.device_put(mask_j, self._data_sharding)
-            if chain > 1:
-                if g_ids and g_ids[0].shape != ids_j.shape:
-                    flush_group()
+            if group_sizes[bi]:
+                g_target = group_sizes[bi]
+            if g_target == 1:
+                pending.append(([sel], self._embed(ids_j, mask_j)))
+            else:
                 g_ids.append(ids_j)
                 g_masks.append(mask_j)
                 g_sels.append(sel)
-                if len(g_ids) == chain:
-                    flush_group()
-            else:
-                pending.append(([sel], self._embed(ids_j, mask_j)))
+                if len(g_ids) == g_target:
+                    embs = self._embed_many(jnp.stack(g_ids),
+                                            jnp.stack(g_masks))
+                    pending.append((list(g_sels), embs))
+                    g_ids.clear(), g_masks.clear(), g_sels.clear()
             while len(pending) >= FETCH_PIPELINE_DEPTH:
                 drain()
-        flush_group()
         while pending:
             drain()
         self._cache_store(texts, is_query, out)

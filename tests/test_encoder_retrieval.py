@@ -173,6 +173,21 @@ def test_encode_token_budget_batching_matches_single():
         np.testing.assert_allclose(batched[i], single[0], atol=2e-5)
 
 
+def test_chain_group_plan():
+    """Greedy pow2 decomposition of same-shape runs, immediate singles."""
+    from sgpt_tpu.encoder import _chain_group_sizes
+    A, B = (4, 64), (8, 32)
+    # run of 13 A's then 3 B's, chain 8 -> 8+4+1 and 2+1
+    sizes = _chain_group_sizes([A] * 13 + [B] * 3, 8)
+    assert sizes == [8, 0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 1, 2, 0, 1]
+    # chain caps at largest pow2 <= chain (6 -> 4)
+    assert _chain_group_sizes([A] * 6, 6) == [4, 0, 0, 0, 2, 0]
+    # chain=1 and singleton runs: everything dispatches singly
+    assert _chain_group_sizes([A, B, A], 8) == [1, 1, 1]
+    assert _chain_group_sizes([A] * 5, 1) == [1] * 5
+    assert _chain_group_sizes([], 8) == []
+
+
 def test_dispatch_chain_equality():
     """Chained bulk dispatch (dispatch_chain>1: k same-shape batches through
     ONE lax.map jit, encoder._embed_chain_step) must reproduce per-batch

@@ -72,6 +72,10 @@ def main():
                     "bucketing + fused pool) on the same ragged docs — the "
                     "end-to-end multiple as ONE measurement instead of "
                     "pattern-ratio x batching-ratio arithmetic")
+    ap.add_argument("--engine-chain", type=int, default=8,
+                    help="EmbeddingEngine dispatch_chain for --engine "
+                    "(1 disables dispatch chaining — the A/B for the "
+                    "planned lax.map bulk-dispatch grouping)")
     args = ap.parse_args()
     args.batch = args.batch or DEFAULT_BATCH[args.model]
     args.docs = args.docs or 4 * args.batch
@@ -203,7 +207,8 @@ def main():
         engine = EmbeddingEngine(params, cfg, tok, method="weightedmean",
                                  max_seq_len=args.maxseq,
                                  batch_size=args.batch,
-                                 normalize_embeddings=True)
+                                 normalize_embeddings=True,
+                                 dispatch_chain=args.engine_chain)
         texts2 = [" ".join(f"v{rng.integers(50000)}" for _ in range(n))
                   for n in lens]
         engine.encode(texts)                       # warm + compile buckets
