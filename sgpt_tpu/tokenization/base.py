@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
-from typing import List, Optional, Protocol, runtime_checkable
+from typing import List, Optional, Protocol, Sequence, runtime_checkable
 
 logger = logging.getLogger(__name__)
 
@@ -84,6 +84,28 @@ class SimpleTokenizer:
             out.append(self.N_RESERVED + h % (self.vocab_size - self.N_RESERVED))
         return out
 
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batched encode (same ids as per-text encode); the word→id hash
+        is memoized across the batch — corpora repeat words heavily."""
+        if type(self).encode is not SimpleTokenizer.encode:
+            # subclass overrode encode(): don't bypass it with the memo path
+            return [self.encode(t) for t in texts]
+        memo: dict = {}
+        n = self.vocab_size - self.N_RESERVED
+        out = []
+        for text in texts:
+            row = []
+            for word in text.split():
+                w = word.lower()
+                i = memo.get(w)
+                if i is None:
+                    h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4],
+                                       "little")
+                    i = memo[w] = self.N_RESERVED + h % n
+                row.append(i)
+            out.append(row)
+        return out
+
     def bracket_ids(self, bracket: str) -> List[int]:
         return [self.BRACKETS[bracket]]
 
@@ -111,6 +133,14 @@ class HFTokenizer:
         # (matching where the reference does it, beir_dense_retriever.py:170).
         tokens = self.tok.tokenize(text)
         return self.tok.convert_tokens_to_ids(tokens)
+
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batched encode: the fast (Rust) tokenizer parallelizes across host
+        cores in one call — the ids are identical to per-text encode (no
+        special tokens added either way). Slow tokenizers loop."""
+        if not getattr(self.tok, "is_fast", False):
+            return [self.encode(t) for t in texts]
+        return self.tok(list(texts), add_special_tokens=False)["input_ids"]
 
     def bracket_ids(self, bracket: str) -> List[int]:
         return self.tok.encode(bracket)

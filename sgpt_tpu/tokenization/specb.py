@@ -110,14 +110,18 @@ class SpecbCodec:
         Split out so callers can batch pretokenized rows by token budget
         (encoder.py) without tokenizing twice."""
         budget = self._budget_for(is_query)
+        # OpenAI-docs cleanup the reference applies in its embed path
+        # (beir_dense_retriever.py:170): newlines become spaces
+        if self.clean_newlines:
+            texts = [t.replace("\n", " ") for t in texts]
+        # one batched tokenizer call when available (HF fast tokenizers
+        # parallelize across host cores in Rust; ids match per-text encode)
+        enc_batch = getattr(self.tokenizer, "encode_batch", None)
+        id_rows = (enc_batch(texts) if enc_batch is not None
+                   else [self.tokenizer.encode(t) for t in texts])
         rows: List[List[int]] = []
         n_trunc = toks_trunc = 0
-        for txt in texts:
-            # OpenAI-docs cleanup the reference applies in its embed path
-            # (beir_dense_retriever.py:170): newlines become spaces
-            if self.clean_newlines:
-                txt = txt.replace("\n", " ")
-            ids = self.tokenizer.encode(txt)
+        for ids in id_rows:
             if len(ids) > budget:
                 n_trunc += 1
                 toks_trunc += len(ids) - budget

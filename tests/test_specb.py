@@ -88,3 +88,69 @@ def test_engine_rows_never_exceed_budget_at_cap():
             assert B * T <= 52 * 64
         else:        # shorter buckets: bounded 25% overshoot
             assert B * T <= 52 * 64 * 1.25
+
+
+def test_encode_batch_matches_per_text():
+    """Batched tokenize (encode_rows' one-call path) == per-text encode:
+    SimpleTokenizer's memoized batch, the subclass-override guard, and a
+    fake fast-HF tokenizer through the HFTokenizer adapter."""
+    from sgpt_tpu.tokenization import HFTokenizer
+    from sgpt_tpu.tokenization.specb import SpecbCodec
+
+    tok = SimpleTokenizer(vocab_size=512)
+    texts = ["the cat sat", "THE CAT", "", "cat cat cat", "dog\nbird"]
+    assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]
+
+    class _Shifted(SimpleTokenizer):
+        def encode(self, text):
+            return [i + 1 for i in super().encode(text)]
+
+    sh = _Shifted(vocab_size=512)
+    assert sh.encode_batch(texts) == [sh.encode(t) for t in texts]
+
+    class _FakeFastHF:
+        """Mimics a HF fast tokenizer: batched __call__ + tokenize pair."""
+        is_fast = True
+        pad_token = "<pad>"
+        eos_token = "<eos>"
+        pad_token_id = 0
+        eos_token_id = 1
+
+        def __len__(self):
+            return 512
+
+        def _ids(self, text):
+            return [2 + (len(w) % 97) for w in text.split()]
+
+        def tokenize(self, text):
+            return text.split()
+
+        def convert_tokens_to_ids(self, toks):
+            return [2 + (len(w) % 97) for w in toks]
+
+        def __call__(self, texts, add_special_tokens):
+            assert add_special_tokens is False
+            assert isinstance(texts, list)
+            return {"input_ids": [self._ids(t) for t in texts]}
+
+        def encode(self, text):  # bracket_ids path
+            return self._ids(text)
+
+    hf = HFTokenizer(_FakeFastHF())
+    assert hf.encode_batch(texts) == [hf.encode(t) for t in texts]
+
+    # through the codec: batched path == a codec over a per-text-only stub
+    codec = SpecbCodec(tok, max_seq_len=16, specb=True)
+
+    class _NoBatch:
+        vocab_size = tok.vocab_size
+        eos_id = tok.eos_id
+        pad_id = tok.pad_id
+        encode = staticmethod(tok.encode)
+        bracket_ids = staticmethod(tok.bracket_ids)
+
+    codec2 = SpecbCodec(_NoBatch(), max_seq_len=16, specb=True)
+    for is_query in (False, True):
+        r1, n1, t1 = codec.encode_rows(texts, is_query=is_query)
+        r2, n2, t2 = codec2.encode_rows(texts, is_query=is_query)
+        assert r1 == r2 and n1 == n2 and t1 == t2
