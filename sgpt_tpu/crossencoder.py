@@ -295,11 +295,20 @@ class CrossEncoderRanker:
 
     def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> List[float]:
         """pairs: (continuation, context) token-level requests, already prompted."""
+        # one batched tokenize per column (HF fast tokenizers parallelize
+        # the batch across host cores; ids match per-text encode)
+        enc_batch = getattr(self.tokenizer, "encode_batch", None)
+        if enc_batch is not None and pairs:
+            cont_rows = enc_batch([c for c, _ in pairs])
+            ctx_rows = enc_batch([x for _, x in pairs])
+        else:
+            cont_rows = [self.tokenizer.encode(c) for c, _ in pairs]
+            ctx_rows = [self.tokenizer.encode(x) for _, x in pairs]
         enc = []
-        for continuation, context in pairs:
-            ctx = ([self.tokenizer.eos_id] if context == ""
-                   else self.tokenizer.encode(context))
-            cont = self.tokenizer.encode(continuation)
+        for (continuation, context), cont, ctx in zip(pairs, cont_rows,
+                                                      ctx_rows):
+            if context == "":
+                ctx = [self.tokenizer.eos_id]
             if not cont:
                 cont = [self.tokenizer.eos_id]
             # the reference asserts this (sgptce.py:173); silently wrapping
